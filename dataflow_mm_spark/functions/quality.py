@@ -1,0 +1,201 @@
+"""15-rule text-quality scorer — RuleBaseFilter re-expressed in pure Spark SQL.
+
+Reference semantics: dataflow/operators/core_vision/filter/rule_base_filter.py
+(_apply_text_filters :243-354, constants :163-203, thresholds :69-100). The
+reference runs a per-row Python loop; here every rule is a Catalyst expression
+(string/regex/array higher-order functions) so the whole scorer stays inside
+whole-stage codegen — no Python in the hot path at all.
+
+``quality_struct(col)`` returns a struct of 15 booleans (True = rule violated)
+plus ``pass`` (True = keep row). ``rule_base_filter(df)`` applies the filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---- constants mirrored from the reference (rule_base_filter.py:163-203) ----
+
+ELLIPSIS_THRESHOLD = 0.3
+MEAN_WORD_LEN_MIN = 3
+MEAN_WORD_LEN_MAX = 20
+SYMBOL_RATIO_THRESHOLD = 0.4
+ID_CARD_THRESHOLD = 3
+NO_PUNC_THRESHOLD = 112
+CURLY_THRESHOLD = 0.025
+CAPS_THRESHOLD = 0.2
+LOREM_THRESHOLD = 3e-8
+UNIQUE_THRESHOLD = 0.1
+BULLET_THRESHOLD = 0.9
+JS_THRESHOLD = 3
+
+ID_PATTERN = (
+    r"(?i)(身\s{0,10}份|id\s{0,10}number\s{0,10}|identification|identity|"
+    r"\s{0,10}ID\s{0,10}No\s{0,10}|id\s{0,10}card\s{0,10}|"
+    r"NRIC\s{0,10}number\s{0,10}|IC\s{0,10}number\s{0,10}|"
+    r"resident\s{0,10}registration\s{0,10}|I.D.\s{0,10}Number\s{0,10})"
+)
+SPECIAL_CHAR_PATTERN = (
+    r"u200e|&#247;|\? :|[�□]|\{\/U\}|"
+    r"U\+26[0-F][0-D]|U\+273[3-4]|U\+1F[3-6][0-4][0-F]|U\+1F6[8-F][0-F]"
+)
+HTML_ENTITY_PATTERN = (
+    r"[&＆](nbsp|lt|gt|amp|quot|apos|hellip|ndash|mdash|lsquo|rsquo|ldquo|rdquo)"
+)
+WATERMARK_PATTERN = r"Copyright|Watermark|Confidential"
+BULLET_CHARS = "•‣▶◀◦■□▪▫–"
+SENTENCE_SPLIT = r"[–.!?,;•/|…]"
+# string.punctuation, escaped for use inside F.translate (literal chars).
+PUNCTUATION = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+
+def _count(col: Column, token: str) -> Column:
+    """Non-overlapping substring count (== python str.count)."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(token), F.lit("")))) / len(token)
+
+
+def _words(col: Column) -> Column:
+    """python str.split() on non-blank text: split trimmed text on \\s+."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def _raw_lines(col: Column) -> Column:
+    """Non-empty lines (split_paragraphs with identity normalizer,
+    rule_base_filter.py:22-34)."""
+    return F.filter(F.split(col, "\n"), lambda x: F.trim(x) != F.lit(""))
+
+
+def quality_struct(text: Column) -> Column:
+    """Struct of per-rule violation flags + overall ``pass`` boolean."""
+    blank = text.isNull() | (F.trim(text) == F.lit(""))
+    # Guard all expressions against blank text to keep semantics total.
+    t = F.when(blank, F.lit(" ")).otherwise(text)
+
+    words = _words(t)
+    num_words = F.size(words)
+    lines = _raw_lines(t)
+    num_lines = F.size(lines)
+
+    colon_end = t.endswith(":")
+
+    ellipsis_cnt = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    ellipsis_ratio = (num_lines > 0) & (
+        ellipsis_cnt / num_lines >= F.lit(ELLIPSIS_THRESHOLD)
+    )
+
+    num_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = num_chars.cast("double") / num_words
+    mean_word_len = (mean_len < MEAN_WORD_LEN_MIN) | (mean_len >= MEAN_WORD_LEN_MAX)
+
+    num_symbols = _count(t, "#") + _count(t, "...") + _count(t, "…")
+    symbol_ratio = num_symbols / num_words >= F.lit(SYMBOL_RATIO_THRESHOLD)
+
+    html_entity = t.rlike(HTML_ENTITY_PATTERN)
+
+    idcard = F.regexp_count(t, F.lit(ID_PATTERN)) >= ID_CARD_THRESHOLD
+
+    # max words over sentences of paragraphs (rule 7)
+    sentences = F.flatten(
+        F.transform(F.split(t, "\n"), lambda p: F.split(p, SENTENCE_SPLIT))
+    )
+    max_sentence_words = F.aggregate(
+        sentences,
+        F.lit(0),
+        lambda m, s: F.greatest(
+            m,
+            F.when(F.trim(s) == "", F.lit(0)).otherwise(
+                F.size(F.split(F.trim(s), r"\s+"))
+            ),
+        ),
+    )
+    no_punc_span = max_sentence_words > NO_PUNC_THRESHOLD
+
+    special_char = t.rlike(SPECIAL_CHAR_PATTERN)
+    watermark = t.rlike(WATERMARK_PATTERN)
+
+    curly_ratio = (_count(t, "{") + _count(t, "}")) / F.length(t) >= F.lit(
+        CURLY_THRESHOLD
+    )
+
+    # python str.isupper(): all cased chars upper AND at least one cased char
+    caps_cnt = F.size(
+        F.filter(
+            words,
+            lambda w: (w == F.upper(w)) & (F.upper(w) != F.lower(w)),
+        )
+    )
+    caps_ratio = caps_cnt / num_words > F.lit(CAPS_THRESHOLD)
+
+    lorem_ipsum = (
+        F.regexp_count(F.lower(t), F.lit("lorem ipsum")) / F.length(t)
+        > F.lit(LOREM_THRESHOLD)
+    )
+
+    unique_ratio = (
+        F.size(F.array_distinct(_words(F.lower(t)))).cast("double") / num_words
+        <= F.lit(UNIQUE_THRESHOLD)
+    )
+
+    bullet_cnt = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.ltrim(x), 1, 1).isin(*list(BULLET_CHARS)),
+        )
+    )
+    bullet_ratio = (num_lines > 0) & (bullet_cnt / num_lines > F.lit(BULLET_THRESHOLD))
+
+    # rule 15: lines normalized (punct stripped + lowered), non-empty after
+    # normalize; fail unless num_lines <= 3 or lines-without-js >= 3
+    norm_lines = F.filter(
+        F.transform(
+            F.split(t, "\n"),
+            lambda x: F.lower(F.translate(x, PUNCTUATION, "")),
+        ),
+        lambda x: F.trim(x) != F.lit(""),
+    )
+    n_norm = F.size(norm_lines)
+    js_cnt = F.size(F.filter(norm_lines, lambda x: x.contains("javascript")))
+    javascript = (n_norm > 0) & ~(
+        (n_norm <= 3) | ((n_norm - js_cnt) >= JS_THRESHOLD)
+    )
+
+    flags = {
+        "colon_end": colon_end,
+        "ellipsis_ratio": ellipsis_ratio,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "html_entity": html_entity,
+        "idcard": idcard,
+        "no_punc_span": no_punc_span,
+        "special_char": special_char,
+        "watermark": watermark,
+        "curly_ratio": curly_ratio,
+        "caps_ratio": caps_ratio,
+        "lorem_ipsum": lorem_ipsum,
+        "unique_ratio": unique_ratio,
+        "bullet_ratio": bullet_ratio,
+        "javascript": javascript,
+    }
+    any_violation = None
+    for c in flags.values():
+        any_violation = c if any_violation is None else (any_violation | c)
+    passed = ~blank & ~any_violation
+    return F.struct(
+        *[F.coalesce(v, F.lit(False)).alias(k) for k, v in flags.items()],
+        passed.alias("pass"),
+    )
+
+
+def rule_base_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep rows passing all 15 rules (RuleBaseFilter.run, :381-433)."""
+    return df.filter(quality_struct(F.col(text_col))["pass"])
+
+
+def with_quality(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Non-destructive variant: append the quality struct column."""
+    return df.withColumn(out, quality_struct(F.col(text_col)))

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are tuned for correctness-at-scale first:
+* AQE on (runtime re-plan, skew-join splitting, partition coalescing);
+* Arrow on for every pandas-UDF exchange;
+* session timezone pinned to UTC so event-time semantics are stable and
+  DuckDB-oracle comparisons are reproducible;
+* shuffle partitions sized from the master's core count (4x cores) unless
+  given explicitly — on a real cluster this would come from the job config.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import SparkSession
+
+
+def _cores_of(master: str) -> int:
+    m = re.match(r"local\[(\d+|\*)\]", master)
+    if not m:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if m.group(1) == "*":
+        return os.cpu_count() or 8
+    return int(m.group(1))
+
+
+def get_spark(
+    app_name: str = "dataflow-mm-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    cores = _cores_of(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, cores * 4)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 128MB input splits: at 100TB that is ~800k tasks, fine for a
+        # 1000-executor cluster; local tests override nothing.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
