@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dataflow_mm_spark.functions import extraction as X
+from dataflow_mm_spark.functions.evaluate import with_reward
+from dataflow_mm_spark.oracles import evaluate_oracle as O
+
+
+def test_extract_answer_and_tool_calls(spark, tiny_transcripts):
+    df = tiny_transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        "tool",
+        X.extract_answer(F.col("text")).alias("ans"),
+        X.extract_tool_call_names(F.col("text")).alias("tools"),
+        X.extract_tool_result(F.col("text")).alias("tres"),
+    )
+    rows = df.collect()
+    n_ans = sum(1 for r in rows if r.ans != "")
+    n_tool = sum(1 for r in rows if len(r.tools) > 0)
+    assert n_ans > 0 and n_tool > 0
+    for r in rows:
+        if r.tools:
+            # extracted tool name must agree with the typed tool column
+            assert r.tools == [r.tool], r
+        if r.tres:
+            assert r.tres.startswith(r.tool)
+    # oracle parity on extraction
+    import re
+
+    for r in rows:
+        m = re.search(r"(?s)<answer>\s*(.*?)\s*</answer>", r.text)
+        assert r.ans == ((m.group(1).strip()) if m else "")
+
+
+def test_reward_parity(spark):
+    cases = [
+        ("<answer>A</answer>", "<answer>A</answer>", "multiple choice"),
+        ("<answer>A</answer>", "<answer> B </answer>", "multiple choice"),
+        ("<answer>1,234</answer>", "<answer>1234.00</answer>", "numerical"),
+        ("<answer>1,234.5</answer>", "<answer>1234.5</answer>", "numerical"),
+        ("<answer>12</answer>", "<answer>12</answer>", "numerical"),
+        ("<answer>12</answer>", "<answer>12.0</answer>", "numerical"),
+        ("<answer>abc</answer>", "<answer>12</answer>", "numerical"),
+        ("<answer>the cat sat</answer>", "<answer>the cat sat</answer>", "OCR"),
+        ("<answer>the cat sat</answer>", "<answer>the dog sat</answer>", "OCR"),
+        ("<answer>the cat sat</answer>", "<answer></answer>", "OCR"),
+        ("<answer>a quick brown fox</answer>", "<answer>a slow brown fox jumps</answer>", "free-form"),
+        ("<answer>hello world</answer>", "<answer>hello world</answer>", "free-form"),
+        ("<answer>100</answer>", "<answer>90</answer>", "regression"),
+        ("<answer>100</answer>", "<answer>500</answer>", "regression"),
+        ("no tags here", "<answer>1</answer>", "multiple choice"),
+        ("<answer>x</answer>", "<answer>x</answer>", "unknown-type"),
+    ]
+    pdf = pd.DataFrame(cases, columns=["gt_solution", "model_output", "question_type"])
+    sdf = with_reward(spark.createDataFrame(pdf))
+    got = [r.reward for r in sdf.orderBy(F.monotonically_increasing_id()).collect()]
+    want = [O.reward(g, o, q) for g, o, q in cases]
+    assert all(math.isclose(a, b, abs_tol=1e-9) for a, b in zip(got, want)), list(
+        zip(got, want)
+    )
+
+
+def test_corpus_mean_reward(spark):
+    pdf = pd.DataFrame(
+        {
+            "gt_solution": ["<answer>A</answer>"] * 4,
+            "model_output": ["<answer>A</answer>", "<answer>B</answer>"] * 2,
+            "question_type": ["multiple choice"] * 4,
+        }
+    )
+    sdf = with_reward(spark.createDataFrame(pdf))
+    assert sdf.agg(F.avg("reward").alias("m")).first().m == 0.5
