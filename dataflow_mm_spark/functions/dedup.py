@@ -1,0 +1,305 @@
+"""Deduplication family — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Reference analogues: ImageDeduplicateFilter's pairwise keep-first semantics
+(image_deduplication_filter.py:122-157 — mark j duplicate when sim(i,j) ≥ t
+for some i < j), the sequential TF-IDF near-dup state (image_diversity_filter
+.py:14-34, streaming variant in streaming/dedup.py), and the ``min_hashes``
+storage column stub (utils/storage.py:289-291).
+
+Scale design:
+* exact dedup — hash-aggregate on the text (or normalized text): one shuffle,
+  map-side combine; at 100TB pre-hash to a 128-bit digest first so the
+  shuffle carries 16 bytes, not documents (``exact_dedup_by_digest``).
+* MinHash — signatures are computed per-row JVM-side with md5 (deterministic
+  AND portable to the DuckDB oracle: lexicographic min over hex digests of
+  salted shingles is a valid min-wise hash). LSH banding turns the O(n²)
+  all-pairs problem into an equi-join on (band_idx, band_key): candidates
+  shuffle only on band buckets, then exact Jaccard verifies. Band keys are
+  md5 of the band slice → uniform bucket distribution, skew-safe.
+* SimHash — 64-bit signature via xxhash64 word hashes folded per bit
+  (vectorized numpy pandas UDF); Hamming distance via bit_count(a XOR b)
+  JVM-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from dataflow_mm_spark.functions.normalize import normalize_text
+
+# ------------------------------ exact dedup ---------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per identical text. One shuffle on the digest
+    of the text (not the text itself) + a broadcast-free semi-join pattern:
+    groupBy(digest).min(id) then join back — Catalyst rewrites this as two
+    stages sharing the digest partitioning."""
+    digest = F.md5(F.col(text_col))
+    keep = (
+        df.select(digest.alias("_d"), F.col(id_col))
+        .groupBy("_d")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="leftsemi")
+
+
+def dedup_mark(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Non-destructive: add ``is_dup`` (true for every row whose text already
+    appeared under a smaller id)."""
+    w_min = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_d"))
+        .agg(F.min(id_col).alias("_keep"))
+    )
+    return (
+        df.withColumn("_d", F.md5(F.col(text_col)))
+        .join(w_min, "_d")
+        .withColumn("is_dup", F.col(id_col) != F.col("_keep"))
+        .drop("_d", "_keep")
+    )
+
+
+# ------------------------- shingles & Jaccard -------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (array<string>).
+    Pure Spark: split + transform over indices + slice."""
+    words = F.split(normalize_text(text), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    # sequence(1, 0) is invalid; guard short texts by emitting the whole text
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate generation by shared shingle (inverted-index join — never
+    all-pairs), then exact Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)
+    with id_a < id_b."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    inv = sh.select("_id", F.explode("_sh").alias("_g"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Keep-first near-dedup: drop rows having a ≥-threshold neighbor with a
+    smaller id (reference D1 pairwise semantics)."""
+    dups = ngram_jaccard_pairs(df, text_col, id_col, n, threshold).select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    return df.join(dups, on=id_col, how="left_anti")
+
+
+# ------------------------------ MinHash + LSH --------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, n: int = 3) -> Column:
+    """array<string> of ``num_hashes`` min-wise hex digests. Hash family i =
+    md5(i || ':' || shingle); min is lexicographic over hex — portable across
+    Spark and DuckDB for oracle parity."""
+    sh = word_shingles(text, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda g: F.md5(F.concat(i.cast("string"), F.lit(":"), g)))
+        ),
+    )
+
+
+def minhash_band_keys(sig: Column, bands: int = 4, rows: int = 4) -> Column:
+    """array<struct<band:int, key:string>> — md5 of each band's slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, rows))).alias("key"),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH candidates (same key in ≥1 band) verified by exact shingle
+    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard), id_a < id_b."""
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+        minhash_band_keys(
+            minhash_signature(F.col(text_col), num_hashes, n), bands, rows
+        ).alias("_bk"),
+    )
+    buck = base.select("_id", "_sh", F.explode("_bk").alias("b")).select(
+        "_id", "_sh", F.col("b.band").alias("_band"), F.col("b.key").alias("_key")
+    )
+    cand = (
+        buck.alias("a")
+        .join(
+            buck.alias("b"),
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("_sa"),
+            F.col("b._sh").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(
+        F.array_union("_sa", "_sb")
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    dups = (
+        minhash_lsh_pairs(df, text_col, id_col, **kw)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, on=id_col, how="left_anti")
+
+
+# -------------------------------- SimHash ------------------------------------
+
+
+@pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over unigram tokens of the normalized (punctuation
+    stripped, lowercased) text; token hash = stable blake2b (first 8 bytes).
+    Vectorized numpy fold."""
+    import hashlib
+    import string as _string
+
+    table = str.maketrans("", "", _string.punctuation)
+
+    def sh(t: str | None) -> int:
+        if not t:
+            return 0
+        toks = t.translate(table).lower().split()
+        if not toks:
+            return 0
+        hs = np.frombuffer(
+            b"".join(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest()
+                for tok in set(toks)
+            ),
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        v = np.where(bits.sum(0) * 2 >= len(hs), 1, 0).astype(np.uint64)
+        out = np.uint64(0)
+        for i in range(64):
+            out |= np.uint64(v[i]) << np.uint64(i)
+        return int(out.astype(np.int64))
+
+    return texts.map(sh).astype("int64")
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Block on 4 x 16-bit chunks (a pair within Hamming ≤ 3 must agree on at
+    least one chunk — pigeonhole), verify with bit_count(a XOR b)."""
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_s"))
+    chunks = sig.select(
+        "_id",
+        "_s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("c"),
+                        F.shiftright("_s", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("k"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("_id", "_s", F.col("ck.c").alias("_c"), F.col("ck.k").alias("_k"))
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a._c") == F.col("b._c"))
+            & (F.col("a._k") == F.col("b._k"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._s").alias("_sa"),
+            F.col("b._s").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -23,7 +23,7 @@ from pyspark.sql.functions import pandas_udf
 
 PUNCTUATION = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
 # audio_text_normalizer.py PUNCS: CJK + latin sentence punctuation
-PUNCS_PATTERN = r"[，。！？；：、""''【】《》（）,.!?;:\"'\[\]<>()]"
+PUNCS_PATTERN = r'[，。！？；：、“”‘’【】《》（）,.!?;:"\'\[\]<>()]'
 
 
 def normalize_text(text: Column) -> Column:

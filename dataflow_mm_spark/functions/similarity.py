@@ -1,0 +1,206 @@
+"""Embedding similarity search — brute-force cosine top-k baseline plus an
+LSH-bucketed approximate path for scale.
+
+Reference analogues: KNNSimilarityFilter (knn_similarity_filter.py:112-199,
+k-NN average-cosine uniqueness) and ImageDeduplicateFilter's ≥-threshold
+pairwise cosine (image_deduplication_filter.py:122-157).
+
+Scale notes: brute-force is O(Q x N) — correct baseline, used with a small
+broadcast query set. The scale path is random-hyperplane LSH: a seeded
+signature (vectorized numpy pandas UDF) buckets vectors so the join touches
+only same-bucket candidates; recall is tested against brute force in pytest.
+The dot products themselves run JVM-side via zip_with/aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import broadcast, pandas_udf
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (queries broadcast).
+    Returns (query_id, neighbor_id, rank, sim)."""
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    q = df.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_q")
+    )
+    q = (
+        q.filter(F.col("query_id").isin(query_ids))
+        if query_ids is not None
+        else q.filter(F.col("query_id") < max_queries)
+    )
+    scored = (
+        base.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("_q"), F.col("_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (id_a < id_b). O(n²) verifier for
+    test scale; use lsh variants beyond ~10^5 rows."""
+    v = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .withColumn("sim", cosine(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
+    """Random-hyperplane signature: int bucket id from sign pattern."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @pandas_udf(T.LongType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        bits = (m @ planes.T) > 0
+        out = np.zeros(len(m), dtype=np.int64)
+        for i in range(planes.shape[0]):
+            out |= bits[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    return sig
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    probe_bits: int = 2,
+    seed: int = 7,
+    max_queries: int = 10,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket and
+    its ≤``probe_bits``-bit-flip neighbor buckets (multi-probe). Same output
+    shape as cosine_topk. Defaults tuned for ~0.85 recall on isotropic
+    embeddings; clustered real-world embeddings need fewer probes."""
+    dim = len(df.select(vec_col).first()[0])
+    sig = lsh_signature_udf(dim, n_planes, seed)
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        sig(F.col(vec_col)).alias("_b"),
+    )
+    flips = [0] + [1 << i for i in range(n_planes)]
+    if probe_bits >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    probes = F.array_distinct(
+        F.array(*[F.col("_qb").bitwiseXOR(F.lit(x)) for x in flips])
+    )
+    q = (
+        df.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("_q"),
+            sig(F.col(vec_col)).alias("_qb"),
+        )
+        .filter(F.col("query_id") < max_queries)
+        .withColumn("_probe", F.explode(probes))
+    )
+    scored = base.join(
+        broadcast(q),
+        (F.col("_b") == F.col("_probe")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn("sim", cosine(F.col("_q"), F.col("_v")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def knn_avg_similarity(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_ratio: float = 0.5,
+) -> DataFrame:
+    """KNNSimilarityFilter semantics: per-row mean cosine of the k nearest
+    neighbors; keep the lowest-``keep_ratio`` fraction (most unique rows).
+    Exact percentile via percent_rank (test scale) — reference uses
+    np.percentile (knn_similarity_filter.py:194-196)."""
+    v = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    a, b = v.alias("a"), v.alias("b")
+    sims = (
+        a.join(b, F.col("a._id") != F.col("b._id"))
+        .withColumn("sim", cosine(F.col("a._v"), F.col("b._v")))
+    )
+    w = Window.partitionBy("a._id").orderBy(F.col("sim").desc())
+    knn = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy(F.col("a._id").alias(id_col))
+        .agg(F.avg("sim").alias("knn_similarity_score"))
+    )
+    pw = Window.orderBy(F.col("knn_similarity_score").asc())
+    ranked = knn.withColumn("_pr", F.percent_rank().over(pw))
+    return (
+        df.join(ranked, id_col)
+        .filter(F.col("_pr") <= keep_ratio)
+        .drop("_pr")
+    )

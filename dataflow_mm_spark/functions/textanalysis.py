@@ -1,0 +1,109 @@
+"""Text analysis kernels for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Spark SQL expressions except the winnowing fingerprint (numpy pandas
+UDF). Heuristics are deliberately simple + deterministic so the DuckDB oracle
+can replicate them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "that", "this", "it", "as", "at", "by", "be",
+]
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def word_count(text: Column) -> Column:
+    return F.when(F.trim(text) == "", 0).otherwise(F.size(words(text)))
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count via regex (letters run / digits run / symbol)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    ws = words(text)
+    return F.size(F.filter(ws, lambda w: w.isin(EN_STOPWORDS))) / F.size(ws)
+
+
+def punct_ratio(text: Column) -> Column:
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    ) / F.length(text)
+
+
+def lang_guess(text: Column, threshold: float = 0.08) -> Column:
+    """n-gram-free heuristic language ID: English iff stopword ratio ≥
+    threshold (documents table is synthetic word soup; the heuristic is the
+    deterministic contract, not a linguistic claim)."""
+    return F.when(stopword_ratio(text) >= threshold, "en").otherwise("other")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: length band + punctuation sanity +
+    stopword presence + lexical diversity, equally weighted."""
+    n = F.length(text)
+    len_ok = F.when((n >= 64) & (n <= 20000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(text) >= 0.02, 1.0).otherwise(0.0)
+    ws = words(text)
+    diversity = F.size(F.array_distinct(ws)) / F.size(ws)
+    div_ok = F.when(diversity >= 0.3, 1.0).otherwise(0.0)
+    return F.round((len_ok + punct_ok + stop_ok + div_ok) / 4.0, 6)
+
+
+def fingerprint_md5(text: Column, prefix_len: int = 16) -> Column:
+    """Stable 64-bit-ish document fingerprint: md5 prefix of the normalized
+    text. Portable to the DuckDB oracle."""
+    from dataflow_mm_spark.functions.normalize import normalize_text
+
+    return F.substring(F.md5(normalize_text(text)), 1, prefix_len)
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def winnow_fingerprints(texts: pd.Series) -> pd.Series:
+    """Winnowing document fingerprint (Schleimer et al. 2003): rolling
+    polynomial hash over character 5-grams, window-4 minima. Vectorized numpy
+    per document; used for robust near-dup sketching (rows-only oracle)."""
+    K, W, B, M = 5, 4, np.uint64(257), np.uint64((1 << 61) - 1)
+
+    def fp(t: str | None) -> list[int]:
+        if not t or len(t) < K:
+            return []
+        a = np.frombuffer(t.lower().encode("utf-8", "ignore"), dtype=np.uint8).astype(
+            np.uint64
+        )
+        n = len(a) - K + 1
+        h = np.zeros(n, dtype=np.uint64)
+        acc = np.uint64(0)
+        for i in range(K):
+            acc = (acc * B + a[i]) % M
+        h[0] = acc
+        top = np.uint64(1)
+        for _ in range(K - 1):
+            top = (top * B) % M
+        for i in range(1, n):
+            acc = ((acc + M * B - (a[i - 1] * top) % M) * B + a[i + K - 1]) % M
+            h[i] = acc
+        if n <= W:
+            return [int(h.min())]
+        mins = {int(h[i : i + W].min()) for i in range(n - W + 1)}
+        return sorted(mins)
+
+    return texts.map(fp)
