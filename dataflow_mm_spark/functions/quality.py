@@ -142,10 +142,7 @@ def quality_struct(text: Column) -> Column:
     )
 
     bullet_cnt = F.size(
-        F.filter(
-            lines,
-            lambda x: F.substring(F.ltrim(x), 1, 1).isin(*list(BULLET_CHARS)),
-        )
+        F.filter(lines, lambda x: x.rlike(f"^\\s*[{BULLET_CHARS}]"))
     )
     bullet_ratio = (num_lines > 0) & (bullet_cnt / num_lines > F.lit(BULLET_THRESHOLD))
 

@@ -81,25 +81,21 @@ def winnow_fingerprints(texts: pd.Series) -> pd.Series:
     """Winnowing document fingerprint (Schleimer et al. 2003): rolling
     polynomial hash over character 5-grams, window-4 minima. Vectorized numpy
     per document; used for robust near-dup sketching (rows-only oracle)."""
-    K, W, B, M = 5, 4, np.uint64(257), np.uint64((1 << 61) - 1)
+    K, W, B, M = 5, 4, 257, (1 << 61) - 1
+    top = pow(B, K - 1, M)
 
     def fp(t: str | None) -> list[int]:
         if not t or len(t) < K:
             return []
-        a = np.frombuffer(t.lower().encode("utf-8", "ignore"), dtype=np.uint8).astype(
-            np.uint64
-        )
+        a = np.frombuffer(t.lower().encode("utf-8", "ignore"), dtype=np.uint8)
         n = len(a) - K + 1
-        h = np.zeros(n, dtype=np.uint64)
-        acc = np.uint64(0)
+        h = np.zeros(n, dtype=np.int64)
+        acc = 0
         for i in range(K):
-            acc = (acc * B + a[i]) % M
+            acc = (acc * B + int(a[i])) % M
         h[0] = acc
-        top = np.uint64(1)
-        for _ in range(K - 1):
-            top = (top * B) % M
         for i in range(1, n):
-            acc = ((acc + M * B - (a[i - 1] * top) % M) * B + a[i + K - 1]) % M
+            acc = ((acc - int(a[i - 1]) * top) * B + int(a[i + K - 1])) % M
             h[i] = acc
         if n <= W:
             return [int(h.min())]

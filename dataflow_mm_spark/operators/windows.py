@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dataflow_mm_spark.functions.timeutil import epoch_seconds
+
 
 def tumbling_agg(
     df: DataFrame,
@@ -87,11 +89,13 @@ def session_agg_batch(
     DuckDB oracle is trivially expressible — both are reported)."""
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
     prev = F.lag(ts_col).over(w)
+    # fractional epoch seconds (cast, not unix_timestamp, which truncates
+    # sub-second precision and would disagree with the DuckDB oracle)
     with_gap = df.withColumn(
         "_new",
         (
             prev.isNull()
-            | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_seconds)
+            | (epoch_seconds(F.col(ts_col)) - epoch_seconds(prev) > gap_seconds)
         ).cast("int"),
     )
     with_sess = with_gap.withColumn(
@@ -106,7 +110,10 @@ def session_agg_batch(
         )
         .withColumn(
             "duration_sec",
-            F.unix_timestamp("sess_last") - F.unix_timestamp("sess_start"),
+            F.round(
+                epoch_seconds(F.col("sess_last")) - epoch_seconds(F.col("sess_start")),
+                6,
+            ),
         )
     )
 

@@ -1,0 +1,658 @@
+"""Query registry — the ``__spark_entry__`` contract implementation.
+
+Each named query is a pure function ``(spark, sf_dir) -> DataFrame`` plus,
+where SQL-expressible, an equivalent DuckDB oracle SQL string evaluated over
+the same parquet tables. Column names and rounding are aligned on both sides
+so the driver's order-insensitive value-hash comparison holds.
+
+The dict-of-functions registry deliberately replaces the reference's
+OPERATOR_REGISTRY/LazyLoader machinery (dataflow/utils/registry.py) — in a
+lazy DataFrame engine, an operator *is* a function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataflow_mm_spark.functions import dedup as D
+from dataflow_mm_spark.functions import quality as Q
+from dataflow_mm_spark.functions import similarity as S
+from dataflow_mm_spark.functions import textanalysis as TA
+from dataflow_mm_spark.functions.normalize import normalize_text
+from dataflow_mm_spark.operators import cep as CEP
+from dataflow_mm_spark.operators import windows as W
+
+# SQL-literal fragments shared by oracle queries -----------------------------
+
+_PUNCT_SQL = "'!\"#$%&''()*+,-./:;<=>?@[\\]^_`{|}~'"
+_NORM_SQL = (
+    "regexp_replace(trim(lower(translate(text, " + _PUNCT_SQL + ", ''))), "
+    "'\\s+', ' ', 'g')"
+)
+_SHINGLE2_SQL = f"""
+  WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+  w AS (SELECT doc_id, str_split(norm, ' ') AS ws, norm FROM n),
+  s AS (SELECT doc_id,
+         CASE WHEN len(ws) >= 2 THEN
+           list_distinct(list_transform(generate_series(1, len(ws)-1),
+             i -> array_to_string(list_slice(ws, i, i+1), ' ')))
+         ELSE [norm] END AS sh
+        FROM w)
+"""
+
+_EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TA.EN_STOPWORDS) + "]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _turns_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcript-shaped view over the events table: user_id →
+    conv_id, dense event order → turn_idx. Lets transcript operators be
+    oracle-checked against registered DuckDB views."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        "ts",
+    )
+
+
+_TURNS_SQL = """
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         event_type AS role, props AS text, ts
+  FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# relational layer
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + top-k: broadcast the customer dim against the orders fact."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    joined = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_name", "revenue", "n_orders"
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+WITH rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT c_custkey, c_name, revenue, n_orders,
+         row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+  FROM rev JOIN customer ON o_custkey = c_custkey
+)
+SELECT * FROM j WHERE rank <= 10
+"""
+
+# ---------------------------------------------------------------------------
+# event-time windows (streaming semantics, batch-checkable)
+# ---------------------------------------------------------------------------
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("win_start"),
+            "n_events",
+            "avg_value",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT event_type,
+       make_timestamp((CAST(floor(epoch(ts)/3600) AS BIGINT)) * 3600 * 1000000) AS win_start,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type", F.col("w.start").alias("win_start"), "n_events"
+        )
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_type,
+       make_timestamp((CAST(floor(epoch(ts)/600) AS BIGINT) - i) * 600 * 1000000) AS win_start,
+       count(*) AS n_events
+FROM events, generate_series(0, 2) AS t(i)
+GROUP BY 1, 2
+"""
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = W.session_agg_batch(ev, gap_seconds=1800, keys=("user_id",), ts_col="ts")
+    return out.select(
+        "user_id",
+        "sess_start",
+        F.col("n_turns").alias("n_events"),
+        "duration_sec",
+    )
+
+
+EVENTS_SESSION_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), y AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM x
+)
+SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
+       round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_sec
+FROM y GROUP BY user_id, sess_id
+"""
+
+
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the earliest event per (user_id, event_type) — batch form of
+    dropDuplicatesWithinWatermark."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+EVENTS_DEDUP_SQL = """
+WITH r AS (
+  SELECT event_id, user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1
+"""
+
+
+def events_cep_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return CEP.sequence_match(ev, first="error", then="purchase", within_sec=1800)
+
+
+EVENTS_CEP_SQL = """
+WITH x AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS prev_type,
+         lag(ts) OVER w AS prev_ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, prev_ts AS first_ts, ts AS then_ts
+FROM x
+WHERE event_type = 'purchase' AND prev_type = 'error'
+  AND epoch(ts) - epoch(prev_ts) <= 1800
+"""
+
+
+def transcript_prevturn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-turn context assembly: self-join turns with their predecessor
+    (the batch replay of the streaming stream-stream join)."""
+    t = _turns_from_events(spark, sf_dir)
+    cur = t.alias("cur")
+    prev = t.select(
+        F.col("conv_id").alias("p_conv"),
+        F.col("turn_idx").alias("p_idx"),
+        F.col("role").alias("prev_role"),
+    ).alias("prev")
+    return (
+        cur.join(
+            prev,
+            (F.col("cur.conv_id") == F.col("p_conv"))
+            & (F.col("cur.turn_idx") == F.col("p_idx") + 1),
+            "inner",
+        )
+        .select("cur.conv_id", "cur.turn_idx", "cur.role", "prev_role")
+    )
+
+
+TRANSCRIPT_PREVTURN_SQL = f"""
+WITH t AS ({_TURNS_SQL})
+SELECT a.conv_id, a.turn_idx, a.role, b.role AS prev_role
+FROM t a JOIN t b ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx - 1
+"""
+
+# ---------------------------------------------------------------------------
+# documents: quality / dedup / text analysis
+# ---------------------------------------------------------------------------
+
+
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return Q.rule_base_filter(docs).select("doc_id")
+
+
+DOCS_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS words,
+         list_filter(str_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), m AS (
+  SELECT *,
+    len(words) AS nw,
+    list_aggregate(list_transform(words, w -> length(w)), 'sum') AS nchars,
+    len(lines) AS nl
+  FROM base
+)
+SELECT doc_id FROM m
+WHERE NOT (
+     text LIKE '%:'
+  OR (nl > 0 AND CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / nl >= 0.3)
+  OR (CAST(nchars AS DOUBLE) / nw < 3 OR CAST(nchars AS DOUBLE) / nw >= 20)
+  OR (((length(text) - length(replace(text, '#', '')))
+       + (length(text) - length(replace(text, '...', ''))) / 3.0
+       + (length(text) - length(replace(text, '…', '')))) / nw >= 0.4)
+  OR regexp_matches(text, '[&＆](nbsp|lt|gt|amp|quot|apos|hellip|ndash|mdash|lsquo|rsquo|ldquo|rdquo)')
+  OR len(regexp_extract_all(text, '(?i)(身\s{0,10}份|id\s{0,10}number\s{0,10}|identification|identity|\s{0,10}ID\s{0,10}No\s{0,10}|id\s{0,10}card\s{0,10}|NRIC\s{0,10}number\s{0,10}|IC\s{0,10}number\s{0,10}|resident\s{0,10}registration\s{0,10}|I.D.\s{0,10}Number\s{0,10})', 0)) >= 3
+  OR list_max(list_transform(str_split(text, chr(10)),
+        p -> list_max(list_transform(str_split_regex(p, '[–.!?,;•/|…]'),
+          s -> CASE WHEN trim(s) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(s), '\s+')) END)))) > 112
+  OR regexp_matches(text, 'u200e|&#247;|\? :|[�□]|\{\/U\}|U\+26[0-F][0-D]|U\+273[3-4]|U\+1F[3-6][0-4][0-F]|U\+1F6[8-F][0-F]')
+  OR regexp_matches(text, 'Copyright|Watermark|Confidential')
+  OR ((length(text) - length(replace(text, '{', '')))
+      + (length(text) - length(replace(text, '}', '')))) * 1.0 / length(text) >= 0.025
+  OR CAST(len(list_filter(words, w -> w = upper(w) AND upper(w) <> lower(w))) AS DOUBLE) / nw > 0.2
+  OR CAST(len(regexp_extract_all(lower(text), 'lorem ipsum', 0)) AS DOUBLE) / length(text) > 3e-8
+  OR CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE) / nw <= 0.1
+  OR (nl > 0 AND CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[•‣▶◀◦■□▪▫–]'))) AS DOUBLE) / nl > 0.9)
+  OR (len(list_filter(list_transform(str_split(text, chr(10)),
+         x -> lower(translate(x, """ + _PUNCT_SQL + r""", ''))), x -> trim(x) <> '')) > 0
+      AND NOT (
+        len(list_filter(list_transform(str_split(text, chr(10)),
+           x -> lower(translate(x, """ + _PUNCT_SQL + r""", ''))), x -> trim(x) <> '')) <= 3
+        OR len(list_filter(list_transform(str_split(text, chr(10)),
+             x -> lower(translate(x, """ + _PUNCT_SQL + r""", ''))), x -> trim(x) <> ''))
+           - len(list_filter(list_filter(list_transform(str_split(text, chr(10)),
+               x -> lower(translate(x, """ + _PUNCT_SQL + r""", ''))), x -> trim(x) <> ''),
+               x -> contains(x, 'javascript'))) >= 3))
+)
+"""
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).select("doc_id")
+
+
+DOCS_EXACT_DEDUP_SQL = """
+WITH k AS (SELECT md5(text) AS d, min(doc_id) AS doc_id FROM documents GROUP BY 1)
+SELECT doc_id FROM k
+"""
+
+
+def docs_ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, n=2, threshold=0.25)
+
+
+DOCS_NGRAM_NEARDUP_SQL = _SHINGLE2_SQL + """
+, sz AS (SELECT doc_id, len(sh) AS n FROM s),
+inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.25
+"""
+
+
+def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = D.minhash_signature(F.col("text"), num_hashes=4, n=2)
+    return docs.select("doc_id", F.concat_ws("|", sig).alias("sig"))
+
+
+DOCS_MINHASH_SQL = _SHINGLE2_SQL + """
+SELECT doc_id,
+       array_to_string(list_transform(generate_series(0, 3),
+         i -> list_aggregate(list_transform(sh, g -> md5(i::VARCHAR || ':' || g)), 'min')),
+         '|') AS sig
+FROM s
+"""
+
+
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+DOCS_LANG_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM documents
+)
+SELECT doc_id,
+       CASE WHEN CAST(len(list_filter(ws, x -> list_contains({_EN_STOP_SQL}, x))) AS DOUBLE)
+                 / len(ws) >= 0.08
+            THEN 'en' ELSE 'other' END AS lang_guess
+FROM w
+"""
+
+
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TA.word_count(F.col("text")).cast("long").alias("n_words"),
+        TA.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+DOCS_TOKEN_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_tokens
+FROM documents
+"""
+
+
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.quality_score(F.col("text")).alias("score"))
+
+
+DOCS_SCORE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+  round((
+    (CASE WHEN length(text) BETWEEN 64 AND 20000 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                 / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN CAST(len(list_filter(ws, x -> list_contains({_EN_STOP_SQL}, x))) AS DOUBLE)
+                 / len(ws) >= 0.02 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.3
+            THEN 1.0 ELSE 0.0 END)
+  ) / 4.0, 6) AS score
+FROM w
+"""
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.fingerprint_md5(F.col("text")).alias("fp"))
+
+
+DOCS_FP_SQL = f"SELECT doc_id, substr(md5({_NORM_SQL}), 1, 16) AS fp FROM documents"
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.cosine_topk(emb, k=5, max_queries=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+EMB_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+sc AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+  FROM e, q WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sc
+)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+"""
+
+
+def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(emb, threshold=0.35)
+
+
+EMB_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+"""
+
+
+def emb_knn_avg_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(F.col("vec_id").alias("_id"), F.col("embedding").cast("array<double>").alias("_v"))
+    a, b = v.alias("a"), v.alias("b")
+    sims = a.join(b, F.col("a._id") != F.col("b._id")).withColumn(
+        "sim", F.round(S.cosine(F.col("a._v"), F.col("b._v")), 6)
+    )
+    w = Window.partitionBy("a._id").orderBy(F.col("sim").desc(), F.col("b._id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .groupBy(F.col("a._id").alias("vec_id"))
+        .agg(F.round(F.avg("sim"), 6).alias("knn_sim"))
+    )
+
+
+EMB_KNN_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY ida ORDER BY sim DESC, idb) AS rank FROM sc
+)
+SELECT ida AS vec_id, round(avg(sim), 6) AS knn_sim FROM r WHERE rank <= 5 GROUP BY ida
+"""
+
+# ---------------------------------------------------------------------------
+# transcript-native queries (datagen input; rows-only driver check — the
+# full parity checks live in the pytest suite)
+# ---------------------------------------------------------------------------
+
+
+def _gen_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic, seed-pinned; independent of sf_dir by design
+    from dataflow_mm_spark.datagen import transcripts
+
+    return transcripts(spark, n_convs=300, seed=42)
+
+
+def transcripts_role_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CEP.role_violations(_gen_transcripts(spark, sf_dir))
+
+
+def transcripts_tool_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CEP.tool_pairing(_gen_transcripts(spark, sf_dir))
+
+
+def transcripts_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.session_agg_batch(_gen_transcripts(spark, sf_dir), gap_seconds=1800)
+
+
+def transcripts_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: quality-filtered turn counts per conversation per 5-minute
+    tumbling window (SURVEY.md §7.2 slice, batch form)."""
+    t = Q.rule_base_filter(_gen_transcripts(spark, sf_dir))
+    return W.tumbling_agg(t, size="5 minutes")
+
+
+def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs, max_hamming=8)
+
+
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.ann_lsh_topk(emb, k=5, max_queries=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TA.winnow_fingerprints(F.col("text")).alias("fps")
+    ).select("doc_id", F.size("fps").cast("long").alias("n_fps"))
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "top_customers_by_revenue": top_customers_by_revenue,
+    "events_tumbling_hourly": events_tumbling_hourly,
+    "events_sliding_windows": events_sliding_windows,
+    "events_sessionization": events_sessionization,
+    "events_dedup_first": events_dedup_first,
+    "events_cep_error_purchase": events_cep_error_purchase,
+    "transcript_prevturn_join": transcript_prevturn_join,
+    "docs_quality_filter": docs_quality_filter,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_ngram_neardup": docs_ngram_neardup,
+    "docs_minhash_signatures": docs_minhash_signatures,
+    "docs_lang_id": docs_lang_id,
+    "docs_token_stats": docs_token_stats,
+    "docs_quality_score": docs_quality_score,
+    "docs_fingerprint": docs_fingerprint,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_cosine_neardup": emb_cosine_neardup,
+    "emb_knn_avg_sim": emb_knn_avg_sim,
+    # rows-only (non-SQL-expressible or datagen-backed)
+    "transcripts_role_violations": transcripts_role_violations,
+    "transcripts_tool_pairing": transcripts_tool_pairing,
+    "transcripts_sessionization": transcripts_sessionization,
+    "transcripts_quality_windows": transcripts_quality_windows,
+    "docs_simhash_neardup": docs_simhash_neardup,
+    "emb_ann_lsh_topk": emb_ann_lsh_topk,
+    "docs_winnow_fingerprints": docs_winnow_fingerprints,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "top_customers_by_revenue": TOP_CUSTOMERS_SQL,
+    "events_tumbling_hourly": EVENTS_TUMBLING_SQL,
+    "events_sliding_windows": EVENTS_SLIDING_SQL,
+    "events_sessionization": EVENTS_SESSION_SQL,
+    "events_dedup_first": EVENTS_DEDUP_SQL,
+    "events_cep_error_purchase": EVENTS_CEP_SQL,
+    "transcript_prevturn_join": TRANSCRIPT_PREVTURN_SQL,
+    "docs_quality_filter": DOCS_QUALITY_SQL,
+    "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
+    "docs_ngram_neardup": DOCS_NGRAM_NEARDUP_SQL,
+    "docs_minhash_signatures": DOCS_MINHASH_SQL,
+    "docs_lang_id": DOCS_LANG_SQL,
+    "docs_token_stats": DOCS_TOKEN_SQL,
+    "docs_quality_score": DOCS_SCORE_SQL,
+    "docs_fingerprint": DOCS_FP_SQL,
+    "emb_cosine_topk": EMB_TOPK_SQL,
+    "emb_cosine_neardup": EMB_NEARDUP_SQL,
+    "emb_knn_avg_sim": EMB_KNN_SQL,
+}
+
+
+def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship smoke query: full document-prep pipeline — 15-rule quality
+    filter, lang ID, token stats, fingerprint, exact-dedup keep mark."""
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        TA.lang_guess(F.col("text")).alias("lang_guess"),
+        TA.word_count(F.col("text")).alias("n_words"),
+        TA.token_count(F.col("text")).alias("n_tokens"),
+        TA.quality_score(F.col("text")).alias("score"),
+        TA.fingerprint_md5(F.col("text")).alias("fp"),
+        Q.quality_struct(F.col("text")).alias("quality"),
+    )
+    return enriched.filter(F.col("quality.pass")).drop("text")

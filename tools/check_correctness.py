@@ -1,0 +1,99 @@
+"""Self-check harness replicating the driver's correctness gate:
+run each queries()[name] on Spark and oracle_sql()[name] on DuckDB at a
+given sf dir; compare row count, column names, and an order-insensitive
+value hash (columns sorted by name, rows sorted, values stringified).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    d = df[cols].copy()
+    for c in cols:
+        s = d[c]
+        if pd.api.types.is_float_dtype(s):
+            d[c] = s.round(9).map(lambda x: f"{x:.9f}" if pd.notna(x) else "NULL")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            d[c] = s.astype("datetime64[us]").astype(str)
+        else:
+            d[c] = s.astype(str)
+    rows = sorted(d.apply(lambda r: "|".join(r.values), axis=1).tolist())
+    h = hashlib.md5("\n".join(rows).encode()).hexdigest()
+    return len(df), cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from dataflow_mm_spark.session import get_spark
+
+    spark = get_spark("check", master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {ex}")
+            failures.append(name)
+            continue
+        if name not in os_:
+            print(f"okR  {name}: rows={len(sdf)} (rows-only) {time.time()-t0:.1f}s")
+            if len(sdf) == 0:
+                print(f"  WARN {name}: zero rows")
+            continue
+        try:
+            odf = con.execute(os_[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error {ex}")
+            failures.append(name)
+            continue
+        ns, cs, hs = canon(sdf)
+        no, co, ho = canon(odf)
+        ok = (ns, cs, hs) == (no, co, ho)
+        print(
+            f"{'ok  ' if ok else 'FAIL'} {name}: rows {ns}/{no} "
+            f"cols {'=' if cs == co else f'{cs} vs {co}'} hash {'=' if hs == ho else 'DIFF'} "
+            f"{time.time()-t0:.1f}s"
+        )
+        if not ok:
+            failures.append(name)
+    # entry smoke
+    n = E.entry(spark).count()
+    print(f"entry rows={n}")
+    if n <= 0:
+        failures.append("entry")
+    print("FAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
