@@ -1,0 +1,192 @@
+"""Streaming CEP over conversation turns — applyInPandasWithState.
+
+Detects, per ``conv_id`` in event (turn_idx) order:
+* role-alternation violations (same role as previous user/assistant turn);
+* tool request→result pairing (assistant turn carrying a <tool_call> span
+  must be followed — next turn_idx — by a role='tool' turn with the same
+  tool name) → ``tool_paired`` / ``tool_unpaired`` events;
+* conversation close via event-time timeout (watermark passes last activity
+  + gap) → ``conv_summary`` event with per-conversation counters.
+
+Semantics match the batch forms in operators/cep.py (their outputs are the
+replay oracle — tests assert set equality on the detection rows).
+
+Out-of-order handling: arrivals are buffered in state keyed by turn_idx and
+the FSM only consumes the contiguous prefix (next_idx, next_idx+1, ...);
+anything beyond a gap waits for the missing turn or the timeout flush. State
+is a flat struct (Python state API limitation, SURVEY.md §7.7) with the
+pending buffer JSON-encoded.
+
+Skew note: state is keyed by conv_id, so a mega-conversation lands on one
+task — state size is bounded by the pending buffer (gap-bounded), not by
+conversation length, because the FSM discards consumed turns.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TOOL_CALL_RE = re.compile(r"(?s)<tool_call>(.*?)</tool_call>")
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("detail", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next_idx", T.IntegerType()),
+        T.StructField("last_ua_role", T.StringType()),
+        T.StructField("open_tool", T.StringType()),
+        T.StructField("open_tool_idx", T.IntegerType()),
+        T.StructField("open_tool_ts_us", T.LongType()),
+        T.StructField("pending_json", T.StringType()),
+        T.StructField("n_turns", T.IntegerType()),
+        T.StructField("n_violations", T.IntegerType()),
+        T.StructField("n_paired", T.IntegerType()),
+        T.StructField("n_unpaired", T.IntegerType()),
+        T.StructField("max_ts_us", T.LongType()),
+    ]
+)
+
+_EMPTY = (0, None, None, None, None, "{}", 0, 0, 0, 0, 0)
+
+
+def _ts_us(ts) -> int:
+    return int(pd.Timestamp(ts).value // 1000)
+
+
+def _cep_fn(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    close_gap_us: int = 0,
+) -> Iterator[pd.DataFrame]:
+    conv_id = key[0]
+    if state.hasTimedOut:
+        (next_idx, _ua, open_tool, open_idx, open_ts, pending_json,
+         n_turns, n_viol, n_paired, n_unpaired, max_ts) = state.get
+        rows = []
+        if open_tool is not None:
+            rows.append(
+                (conv_id, "tool_unpaired", open_idx, open_tool,
+                 pd.Timestamp(open_ts, unit="us"))
+            )
+            n_unpaired += 1
+        rows.append(
+            (
+                conv_id,
+                "conv_summary",
+                next_idx,
+                json.dumps(
+                    {
+                        "n_turns": n_turns,
+                        "n_violations": n_viol,
+                        "n_paired": n_paired,
+                        "n_unpaired": n_unpaired,
+                        "n_pending": len(json.loads(pending_json or "{}")),
+                    },
+                    sort_keys=True,
+                ),
+                pd.Timestamp(max_ts, unit="us"),
+            )
+        )
+        state.remove()
+        yield pd.DataFrame(rows, columns=["conv_id", "kind", "turn_idx", "detail", "ts"])
+        return
+
+    st = list(state.get) if state.exists else list(_EMPTY)
+    pending: dict[str, list] = json.loads(st[5] or "{}")
+    out = []
+
+    for pdf in pdf_iter:
+        for r in pdf.itertuples():
+            has_call = bool(r.text) and "<tool_call>" in r.text
+            pending[str(int(r.turn_idx))] = [
+                r.role,
+                r.tool if isinstance(r.tool, str) else None,
+                has_call,
+                _ts_us(r.ts),
+            ]
+            st[10] = max(st[10], _ts_us(r.ts))
+
+    # consume the contiguous prefix
+    while str(st[0]) in pending:
+        role, tool, has_call, ts_us = pending.pop(str(st[0]))
+        idx = st[0]
+        ts = pd.Timestamp(ts_us, unit="us")
+        st[6] += 1  # n_turns
+        # resolve an open tool call: the *next* turn decides pairing
+        if st[2] is not None:
+            if role == "tool" and tool == st[2]:
+                out.append((conv_id, "tool_paired", st[3], st[2], ts))
+                st[8] += 1
+            else:
+                out.append(
+                    (conv_id, "tool_unpaired", st[3], st[2],
+                     pd.Timestamp(st[4], unit="us"))
+                )
+                st[9] += 1
+            st[2] = st[3] = st[4] = None
+        # role alternation over user/assistant turns only
+        if role in ("user", "assistant"):
+            if st[1] == role:
+                out.append((conv_id, "role_violation", idx, role, ts))
+                st[7] += 1
+            st[1] = role
+        # new tool call opens
+        if has_call and role == "assistant" and tool:
+            st[2], st[3], st[4] = tool, idx, ts_us
+        st[0] = idx + 1
+
+    st[5] = json.dumps(pending)
+    state.update(tuple(st))
+    # close the conversation when the watermark passes last activity + gap;
+    # a timeout must be strictly beyond the current watermark
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(
+        max(st[10] // 1000 + close_gap_us // 1000, wm_ms + 1000)
+    )
+    yield pd.DataFrame(out, columns=["conv_id", "kind", "turn_idx", "detail", "ts"])
+
+
+def cep_stream(turns: DataFrame, close_gap: str = "30 minutes") -> DataFrame:
+    """turns (streaming, watermarked on ts) → detection event stream."""
+    gap_us = _parse_gap_us(close_gap)
+
+    def fn(key, it, state):
+        return _cep_fn(key, it, state, close_gap_us=gap_us)
+
+    return (
+        turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _parse_gap_us(gap: str) -> int:
+    n, unit = gap.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+    }[unit]
+    return int(n) * mult * 1_000_000

@@ -1,0 +1,121 @@
+"""Streaming deduplication.
+
+* ``exact_dedup_stream`` — builtin ``dropDuplicatesWithinWatermark`` on
+  (conv_id, turn_idx): the exactly-once uniqueness guarantee for replayed /
+  duplicated turns inside the watermark horizon.
+* ``neardup_candidates_stream`` — stateful MinHash-LSH: per band-bucket key,
+  keep a bounded ring of (row key, signature) in state (reference analogue:
+  the last-10k kept-texts window of the sequential TF-IDF dedup,
+  image_diversity_filter.py:14-34); each arrival emits candidate-duplicate
+  events against remembered rows whose signature agrees on ≥ ``min_frac`` of
+  the minhashes. Append-mode stateful op → candidates feed a downstream
+  foreachBatch dedup decision.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from dataflow_mm_spark.functions.dedup import minhash_band_keys, minhash_signature
+
+CAND_SCHEMA = T.StructType(
+    [
+        T.StructField("key_new", T.StringType(), False),
+        T.StructField("key_seen", T.StringType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("sig_agree", T.DoubleType(), False),
+    ]
+)
+
+BUCKET_STATE = T.StructType(
+    [
+        T.StructField("entries_json", T.StringType()),
+        T.StructField("last_ms", T.LongType()),
+    ]
+)
+
+
+def exact_dedup_stream(turns: DataFrame) -> DataFrame:
+    """Input must already carry a watermark on ts."""
+    return turns.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+
+
+def neardup_candidates_stream(
+    turns: DataFrame,
+    key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_frac: float = 0.75,
+    max_entries: int = 1024,
+    ttl_minutes: int = 120,
+) -> DataFrame:
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    keyed = turns.select(
+        F.concat_ws("#", *key_cols).alias("row_key"),
+        sig.alias("sig"),
+        F.col("ts"),
+    ).select(
+        "row_key",
+        "sig",
+        "ts",
+        F.explode(minhash_band_keys(F.col("sig"), bands, rows)).alias("bk"),
+    ).select(
+        "row_key",
+        "sig",
+        "ts",
+        F.col("bk.band").alias("band"),
+        F.concat_ws("/", F.col("bk.band").cast("string"), F.col("bk.key")).alias(
+            "bucket"
+        ),
+    )
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=["key_new", "key_seen", "band", "sig_agree"]
+            )
+            return
+        entries: list[list] = (
+            json.loads(state.get[0]) if state.exists else []
+        )
+        seen_keys = {e[0] for e in entries}
+        out = []
+        last_ms = state.get[1] if state.exists else 0
+        for pdf in pdf_iter:
+            for r in pdf.itertuples():
+                s = list(r.sig)
+                for k_seen, s_seen in entries:
+                    agree = sum(a == b for a, b in zip(s, s_seen)) / len(s)
+                    if agree >= min_frac and k_seen != r.row_key:
+                        out.append((r.row_key, k_seen, int(r.band), round(agree, 4)))
+                if r.row_key not in seen_keys:
+                    entries.append([r.row_key, s])
+                    seen_keys.add(r.row_key)
+                last_ms = max(last_ms, int(pd.Timestamp(r.ts).value // 1_000_000))
+        if len(entries) > max_entries:
+            entries = entries[-max_entries:]
+        state.update((json.dumps(entries), last_ms))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + ttl_minutes * 60_000, wm + 1000))
+        yield pd.DataFrame(out, columns=["key_new", "key_seen", "band", "sig_agree"])
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType=CAND_SCHEMA,
+        stateStructType=BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,155 @@
+"""End-to-end streaming jobs — the engine's flagship pipelines.
+
+Each job: readStream → watermark → transform → exactly-once sink, resumable
+from its checkpoint dir. ``trigger='availableNow'`` drains all pending input
+and stops (used by tests + bench); a real deployment passes
+``processing_time='10 seconds'`` instead. Shuffle layout: stateful stages key
+on conv_id (or window key) — Spark plants the exchange; the quality scorer
+runs before any shuffle so filtered turns never hit the wire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflow_mm_spark.functions.extraction import (
+    extract_answer,
+    extract_tool_call_names,
+)
+from dataflow_mm_spark.functions.quality import quality_struct
+from dataflow_mm_spark.streaming.cep import cep_stream
+from dataflow_mm_spark.streaming.dedup import exact_dedup_stream
+from dataflow_mm_spark.streaming.sink import ExactlyOnceParquetSink
+from dataflow_mm_spark.streaming.source import read_transcript_stream
+
+
+def _start(stream_df: DataFrame, sink: ExactlyOnceParquetSink, checkpoint: str,
+           available_now: bool, processing_time: str | None = None):
+    w = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink.foreach_batch)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
+def enrich_turns(turns: DataFrame) -> DataFrame:
+    """Stateless per-turn enrichment: quality struct, answer span, tool-call
+    names — all JVM-side expressions (no shuffle, no Python)."""
+    return turns.select(
+        "*",
+        quality_struct(F.col("text")).alias("quality"),
+        extract_answer(F.col("text")).alias("answer"),
+        extract_tool_call_names(F.col("text")).alias("tool_calls"),
+    )
+
+
+def turns_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    dedup: bool = True,
+):
+    """Quality-scored, deduplicated turn stream → exactly-once sink."""
+    turns = read_transcript_stream(
+        spark, input_path, max_files_per_trigger, watermark
+    )
+    if dedup:
+        turns = exact_dedup_stream(turns)
+    enriched = enrich_turns(turns).filter(F.col("quality.pass"))
+    sink = ExactlyOnceParquetSink(out_dir)
+    q = _start(enriched, sink, checkpoint, available_now)
+    return q, sink
+
+
+def windowed_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    window_size: str = "5 minutes",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Flagship SURVEY.md §7.2 slice: quality-filtered turn counts per
+    conversation per tumbling window, append mode (windows finalize as the
+    watermark passes)."""
+    turns = read_transcript_stream(
+        spark, input_path, max_files_per_trigger, watermark
+    )
+    filtered = turns.filter(quality_struct(F.col("text"))["pass"])
+    agg = (
+        filtered.groupBy("conv_id", F.window("ts", window_size).alias("w"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+                "n_assistant"
+            ),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_turns",
+            "n_assistant",
+        )
+    )
+    sink = ExactlyOnceParquetSink(out_dir)
+    q = _start(agg, sink, checkpoint, available_now)
+    return q, sink
+
+
+def cep_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    close_gap: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Role-alternation + tool-pairing CEP event stream → sink."""
+    turns = read_transcript_stream(
+        spark, input_path, max_files_per_trigger, watermark
+    )
+    events = cep_stream(turns, close_gap)
+    sink = ExactlyOnceParquetSink(out_dir)
+    q = _start(events, sink, checkpoint, available_now)
+    return q, sink
+
+
+def sessionized_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    gap: str = "30 minutes",
+    available_now: bool = True,
+):
+    """Native session_window aggregation per conversation."""
+    turns = read_transcript_stream(spark, input_path, None, watermark)
+    agg = (
+        turns.groupBy("conv_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_turns",
+        )
+    )
+    sink = ExactlyOnceParquetSink(out_dir)
+    q = _start(agg, sink, checkpoint, available_now)
+    return q, sink

@@ -1,0 +1,229 @@
+"""Streaming correctness: stream/batch parity, exactly-once, resume, late
+data — the replay-determinism suite from SURVEY.md §5.2."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_mm_spark.datagen import transcripts
+from dataflow_mm_spark.functions.quality import quality_struct
+from dataflow_mm_spark.operators import cep as batch_cep
+from dataflow_mm_spark.streaming import jobs
+
+SENTINEL_TS = dt.datetime(2026, 1, 1)
+
+
+def _write_input(spark, path: str, n_convs: int = 40, sentinel: bool = True):
+    df = transcripts(spark, n_convs=n_convs, seed=42)
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    if sentinel:
+        s = spark.createDataFrame(
+            [("conv-sentinel", 0, "user", "sentinel push watermark", None, SENTINEL_TS)],
+            schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        s.coalesce(1).write.mode("append").parquet(path)
+    return df
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    df = _write_input(spark, inp)
+    q, sink = jobs.windowed_pipeline(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+
+    got = (
+        sink.read_committed(spark)
+        .filter(F.col("conv_id") != "conv-sentinel")
+        .select("conv_id", "win_start", "n_turns", "n_assistant")
+    )
+    batch = (
+        df.filter(quality_struct(F.col("text"))["pass"])
+        .groupBy("conv_id", F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+                "n_assistant"
+            ),
+        )
+        .select("conv_id", F.col("w.start").alias("win_start"), "n_turns", "n_assistant")
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_exact_dedup_stream_removes_duplicates(spark, tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    df = transcripts(spark, n_convs=20, seed=42)
+    dup = df.limit(50)
+    df.unionAll(dup).unionAll(dup).repartition(3).write.parquet(inp)
+    q, sink = jobs.turns_pipeline(spark, inp, out, ckpt, dedup=True)
+    q.awaitTermination(300)
+    res = sink.read_committed(spark)
+    n = res.count()
+    nd = res.select("conv_id", "turn_idx").distinct().count()
+    assert n == nd > 0
+
+
+def test_cep_stream_matches_batch(spark, tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    df = _write_input(spark, inp, n_convs=60)
+    q, sink = jobs.cep_pipeline(spark, inp, out, ckpt)
+    q.awaitTermination(600)
+    got = sink.read_committed(spark).filter(F.col("conv_id") != "conv-sentinel")
+
+    viol_s = {
+        (r.conv_id, r.turn_idx)
+        for r in got.filter(F.col("kind") == "role_violation").collect()
+    }
+    viol_b = {
+        (r.conv_id, r.turn_idx) for r in batch_cep.role_violations(df).collect()
+    }
+    assert viol_s == viol_b and len(viol_s) > 0
+
+    pair_b = batch_cep.tool_pairing(df).collect()
+    paired_b = {(r.conv_id, r.turn_idx) for r in pair_b if r.paired}
+    unpaired_b = {(r.conv_id, r.turn_idx) for r in pair_b if not r.paired}
+    paired_s = {
+        (r.conv_id, r.turn_idx)
+        for r in got.filter(F.col("kind") == "tool_paired").collect()
+    }
+    unpaired_s = {
+        (r.conv_id, r.turn_idx)
+        for r in got.filter(F.col("kind") == "tool_unpaired").collect()
+    }
+    assert paired_s == paired_b and len(paired_s) > 0
+    assert unpaired_s == unpaired_b
+
+    # every conversation that timed out has exactly one summary
+    summaries = got.filter(F.col("kind") == "conv_summary")
+    assert summaries.groupBy("conv_id").count().filter("count > 1").count() == 0
+    assert summaries.count() > 0
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    df1 = transcripts(spark, n_convs=20, seed=42)
+    df1.coalesce(2).write.mode("overwrite").parquet(inp)
+
+    q, sink = jobs.turns_pipeline(spark, inp, out, ckpt, dedup=False)
+    q.awaitTermination(300)
+    n1 = sink.read_committed(spark).count()
+    assert n1 > 0
+
+    # resume with additional input: only new rows are appended
+    df2 = transcripts(spark, n_convs=35, seed=42).filter(
+        F.col("conv_id") > "conv-00000019"
+    )
+    df2.coalesce(2).write.mode("append").parquet(inp)
+    q2, sink2 = jobs.turns_pipeline(spark, inp, out, ckpt, dedup=False)
+    q2.awaitTermination(300)
+
+    res = sink2.read_committed(spark)
+    keys = res.select("conv_id", "turn_idx")
+    assert keys.count() == keys.distinct().count()
+    expected = (
+        df1.unionAll(df2).filter(quality_struct(F.col("text"))["pass"]).count()
+    )
+    assert keys.count() == expected
+
+    # idempotent replay: rewriting the max batch with identical data changes nothing
+    last_batch = max(sink2.committed_batches())
+    before = keys.count()
+    replay_pdf = (
+        res.filter(F.col("_batch_id") == last_batch)
+        .drop("_batch_id", "_part_id", "_committed_at")
+        .toPandas()
+    )
+    sink2.foreach_batch(spark.createDataFrame(replay_pdf), last_batch)
+    after = sink2.read_committed(spark).count()
+    assert after == before
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    base = dt.datetime(2025, 6, 1, 12, 0, 0)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    from dataflow_mm_spark.streaming.sink import ExactlyOnceParquetSink
+    from dataflow_mm_spark.streaming.source import read_transcript_stream
+
+    def run_once():
+        turns = read_transcript_stream(spark, inp)
+        agg = (
+            turns.groupBy("conv_id", F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select("conv_id", F.col("w.start").alias("win_start"), "n")
+        )
+        sink = ExactlyOnceParquetSink(out)
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink.foreach_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sink
+
+    # run 1: 40 on-time rows → watermark advances to 12:29
+    rows1 = [("c1", i, "user", "on time row number %d ok fine" % i, None,
+              base + dt.timedelta(minutes=i)) for i in range(40)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(inp)
+    run_once()
+
+    # run 2 (checkpoint resume): a straggler 24 min behind the watermark → dropped
+    late = [("c1", 99, "user", "very late straggler row here sadly", None,
+             base + dt.timedelta(minutes=5))]
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(inp)
+    run_once()
+
+    # run 3: sentinel far in the future flushes all remaining windows
+    s = [("sent", 0, "user", "sentinel far future", None, SENTINEL_TS)]
+    spark.createDataFrame(s, schema).coalesce(1).write.mode("append").parquet(inp)
+    sink = run_once()
+
+    res = sink.read_committed(spark).filter(F.col("conv_id") == "c1")
+    total = res.agg(F.sum("n").alias("s")).first().s
+    assert total == 40  # late row not counted
+
+
+def test_neardup_candidates_stream(spark, tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    base = dt.datetime(2025, 6, 1)
+    txt = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        ("c1", 0, "user", txt, None, base),
+        ("c2", 0, "user", txt + " today", None, base + dt.timedelta(minutes=1)),
+        ("c3", 0, "user", "completely different text about spark plans and shuffles", None,
+         base + dt.timedelta(minutes=2)),
+        ("c4", 0, "user", txt, None, base + dt.timedelta(minutes=3)),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(inp)
+
+    from dataflow_mm_spark.streaming.dedup import neardup_candidates_stream
+    from dataflow_mm_spark.streaming.sink import ExactlyOnceParquetSink
+    from dataflow_mm_spark.streaming.source import read_transcript_stream
+
+    turns = read_transcript_stream(spark, inp)
+    cands = neardup_candidates_stream(turns)
+    sink = ExactlyOnceParquetSink(out)
+    q = (
+        cands.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.foreach_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r.key_new, r.key_seen) for r in sink.read_committed(spark).collect()}
+    flat = {frozenset(p) for p in got}
+    assert frozenset({"c1#0", "c4#0"}) in flat
+    assert not any("c3#0" in p for p in flat)
