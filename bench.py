@@ -1,0 +1,108 @@
+"""Benchmark harness: headline queries + streaming transcript throughput.
+
+Prints ONE JSON line:
+  {"metric": "turns_per_sec_sustained", "value": N, "unit": "turns/sec",
+   "queries": {name: seconds, ...}, "sf": ..., ...}
+
+* per-query wall seconds for every registry query at $SPARK_GRAFT_SF_DIR
+  (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+* headline value = sustained throughput (input turns / wall sec) of the
+  flagship streaming pipeline (exact dedup → quality enrich+filter →
+  exactly-once sink, availableNow) over a deterministic synthetic transcript
+  stream sized by BENCH_TURNS (default ~560k turns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from dataflow_mm_spark.plans import registry as R
+
+    out: dict[str, float] = {}
+    for name, fn in R.QUERIES.items():
+        t0 = time.time()
+        # noop sink: forces full evaluation of every column (count() would
+        # let Catalyst prune projection-only work)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_streaming_bench(spark, n_convs: int, workdir: str) -> dict[str, float]:
+    from dataflow_mm_spark.datagen import write_transcripts
+    from dataflow_mm_spark.streaming import jobs
+
+    inp = os.path.join(workdir, "turns_in")
+    write_transcripts(spark, inp, n_convs=n_convs, files=64)
+    n_turns = spark.read.parquet(inp).count()
+
+    out, ckpt = os.path.join(workdir, "turns_out"), os.path.join(workdir, "ck1")
+    t0 = time.time()
+    q, sink = jobs.turns_pipeline(spark, inp, out, ckpt, dedup=True)
+    q.awaitTermination()
+    turns_sec = time.time() - t0
+
+    out2, ckpt2 = os.path.join(workdir, "cep_out"), os.path.join(workdir, "ck2")
+    t0 = time.time()
+    q2, _ = jobs.cep_pipeline(spark, inp, out2, ckpt2)
+    q2.awaitTermination()
+    cep_sec = time.time() - t0
+
+    out3, ckpt3 = os.path.join(workdir, "win_out"), os.path.join(workdir, "ck3")
+    t0 = time.time()
+    q3, _ = jobs.windowed_pipeline(spark, inp, out3, ckpt3)
+    q3.awaitTermination()
+    win_sec = time.time() - t0
+
+    return {
+        "n_turns": n_turns,
+        "stream_enrich_dedup_sec": round(turns_sec, 2),
+        "stream_cep_sec": round(cep_sec, 2),
+        "stream_window_sec": round(win_sec, 2),
+        "turns_per_sec": round(n_turns / turns_sec, 1),
+        "cep_turns_per_sec": round(n_turns / cep_sec, 1),
+        "window_turns_per_sec": round(n_turns / win_sec, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_convs = int(os.environ.get("BENCH_CONVS", "50000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from dataflow_mm_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+
+    queries = run_queries(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="dfmm_bench_")
+    try:
+        stream = run_streaming_bench(spark, n_convs, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    result = {
+        "metric": "turns_per_sec_sustained",
+        "value": stream["turns_per_sec"],
+        "unit": "turns/sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "stream": stream,
+        "cpus": int(cpus),
+        "total_query_sec": round(sum(queries.values()), 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,19 +71,34 @@ def dedup_mark(
 # ------------------------- shingles & Jaccard -------------------------------
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text (array<string>).
-    Pure Spark: split + transform over indices + slice."""
-    words = F.split(normalize_text(text), " ")
+def norm_words(text: Column) -> Column:
+    """Normalized word array (split of normalize_text). ALWAYS pre-project
+    this into a named column before building shingles from it: an expression
+    subtree referenced inside a higher-order-function lambda is re-evaluated
+    per array element (measured: 50x on shingle-heavy corpora), a column
+    reference is a leaf."""
+    return F.split(normalize_text(text), " ")
+
+
+def shingles_of_words(words: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a (pre-projected) words column."""
     k = F.greatest(F.size(words) - (n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
     )
     # sequence(1, 0) is invalid; guard short texts by emitting the whole text
     return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
         F.array(F.concat_ws(" ", words))
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Convenience wrapper — fine for one-shot use; hot paths should
+    pre-project norm_words() first (see ngram_jaccard_pairs)."""
+    return shingles_of_words(norm_words(text), n)
 
 
 def ngram_jaccard_pairs(
@@ -92,30 +107,48 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate generation by shared shingle (inverted-index join — never
-    all-pairs), then exact Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)
-    with id_a < id_b."""
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")
+    all-pairs), then exact Jaccard ≥ threshold over the FULL shingle sets.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_df`` drops shingles occurring in more than that many documents from
+    *candidate generation only* (stop-shingle cap — without it a low-entropy
+    corpus degenerates the inverted join to all-pairs; the verification
+    Jaccard still uses every shingle). The DuckDB oracle applies the same cap."""
+    # cache: sh feeds candidate generation (2x), df-cap, and verification
+    # (2x) — without it every consumer rescans + recomputes the shingle
+    # expression (InferFiltersFromGenerate additionally inlines it into a
+    # per-scan filter; measured 10x recompute). At warehouse scale this
+    # materializes as an intermediate table instead.
+    sh = (
+        df.select(F.col(id_col).alias("_id"), norm_words(F.col(text_col)).alias("_w"))
+        .select("_id", shingles_of_words(F.col("_w"), n).alias("_sh"))
+        .cache()
     )
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("_g"))
-    pairs = (
+    if max_df is not None:
+        dfreq = inv.groupBy("_g").agg(F.count("*").alias("_df"))
+        inv = inv.join(dfreq.filter(F.col("_df") <= max_df).select("_g"), "_g")
+    cand = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("_common"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
-    return (
-        pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+    verified = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")), "id_b")
+        .withColumn("_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
-            F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")),
+            F.col("_common")
+            / (F.size("_sa") + F.size("_sb") - F.col("_common")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -137,17 +170,23 @@ def ngram_jaccard_dedup(
 # ------------------------------ MinHash + LSH --------------------------------
 
 
-def minhash_signature(text: Column, num_hashes: int = 16, n: int = 3) -> Column:
-    """array<string> of ``num_hashes`` min-wise hex digests. Hash family i =
-    md5(i || ':' || shingle); min is lexicographic over hex — portable across
-    Spark and DuckDB for oracle parity."""
-    sh = word_shingles(text, n)
+def minhash_of_shingles(sh: Column, num_hashes: int = 16) -> Column:
+    """array<string> of ``num_hashes`` min-wise hex digests from a
+    (pre-projected) shingle column. Hash family i = md5(i || ':' || shingle);
+    min is lexicographic over hex — portable across Spark and DuckDB for
+    oracle parity."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(sh, lambda g: F.md5(F.concat(i.cast("string"), F.lit(":"), g)))
         ),
     )
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, n: int = 3) -> Column:
+    """Convenience wrapper; hot paths should pre-project shingles first
+    (the sh subtree is re-evaluated once per hash family otherwise)."""
+    return minhash_of_shingles(word_shingles(text, n), num_hashes)
 
 
 def minhash_band_keys(sig: Column, bands: int = 4, rows: int = 4) -> Column:
@@ -173,12 +212,14 @@ def minhash_lsh_pairs(
     """LSH candidates (same key in ≥1 band) verified by exact shingle
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard), id_a < id_b."""
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), n).alias("_sh"),
-        minhash_band_keys(
-            minhash_signature(F.col(text_col), num_hashes, n), bands, rows
-        ).alias("_bk"),
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"), norm_words(F.col(text_col)).alias("_w")
+        )
+        .select("_id", shingles_of_words(F.col("_w"), n).alias("_sh"))
+        .select("_id", "_sh", minhash_of_shingles(F.col("_sh"), num_hashes).alias("_sig"))
+        .select("_id", "_sh", minhash_band_keys(F.col("_sig"), bands, rows).alias("_bk"))
+        .cache()  # consumed by both sides of the bucket self-join
     )
     buck = base.select("_id", "_sh", F.explode("_bk").alias("b")).select(
         "_id", "_sh", F.col("b.band").alias("_band"), F.col("b.key").alias("_key")

@@ -368,25 +368,34 @@ SELECT doc_id FROM k
 
 def docs_ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, n=2, threshold=0.25)
+    return D.ngram_jaccard_pairs(docs, n=2, threshold=0.25, max_df=50)
 
 
 DOCS_NGRAM_NEARDUP_SQL = _SHINGLE2_SQL + """
-, sz AS (SELECT doc_id, len(sh) AS n FROM s),
-inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
-p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
-FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
-WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.25
+, inv0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+dfreq AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) <= 50),
+inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN dfreq USING (g)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+v AS (SELECT id_a, id_b,
+        len(list_intersect(sa.sh, sb.sh)) AS c,
+        len(sa.sh) AS na, len(sb.sh) AS nb
+      FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
+FROM v WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.25
 """
 
 
 def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sig = D.minhash_signature(F.col("text"), num_hashes=4, n=2)
-    return docs.select("doc_id", F.concat_ws("|", sig).alias("sig"))
+    return (
+        docs.select("doc_id", D.norm_words(F.col("text")).alias("_w"))
+        .select("doc_id", D.shingles_of_words(F.col("_w"), 2).alias("_sh"))
+        .select(
+            "doc_id",
+            F.concat_ws("|", D.minhash_of_shingles(F.col("_sh"), 4)).alias("sig"),
+        )
+    )
 
 
 DOCS_MINHASH_SQL = _SHINGLE2_SQL + """
@@ -509,18 +518,7 @@ WHERE list_dot_product(a.v, b.v)
 
 def emb_knn_avg_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    v = emb.select(F.col("vec_id").alias("_id"), F.col("embedding").cast("array<double>").alias("_v"))
-    a, b = v.alias("a"), v.alias("b")
-    sims = a.join(b, F.col("a._id") != F.col("b._id")).withColumn(
-        "sim", F.round(S.cosine(F.col("a._v"), F.col("b._v")), 6)
-    )
-    w = Window.partitionBy("a._id").orderBy(F.col("sim").desc(), F.col("b._id").asc())
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .groupBy(F.col("a._id").alias("vec_id"))
-        .agg(F.round(F.avg("sim"), 6).alias("knn_sim"))
-    )
+    return S.knn_avg_sim(emb, k=5)
 
 
 EMB_KNN_SQL = """

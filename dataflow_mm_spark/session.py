@@ -35,7 +35,10 @@ def get_spark(
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     cores = _cores_of(master)
     if shuffle_partitions is None:
-        shuffle_partitions = max(8, cores * 4)
+        # 1x cores: AQE coalesces batch shuffles anyway, and streaming state
+        # store instances (fixed at shuffle_partitions) stay cheap to commit.
+        # A real multi-executor cluster would size this 2-3x total cores.
+        shuffle_partitions = max(8, cores)
 
     b = (
         SparkSession.builder.master(master)

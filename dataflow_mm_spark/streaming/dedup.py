@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from dataflow_mm_spark.functions.dedup import minhash_band_keys, minhash_signature
+from dataflow_mm_spark.functions.dedup import (
+    minhash_band_keys,
+    minhash_of_shingles,
+    norm_words,
+    shingles_of_words,
+)
 
 CAND_SCHEMA = T.StructType(
     [
@@ -59,11 +64,18 @@ def neardup_candidates_stream(
     ttl_minutes: int = 120,
 ) -> DataFrame:
     rows = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
     keyed = turns.select(
         F.concat_ws("#", *key_cols).alias("row_key"),
-        sig.alias("sig"),
+        norm_words(F.col(text_col)).alias("_w"),
         F.col("ts"),
+    ).select(
+        "row_key",
+        shingles_of_words(F.col("_w"), shingle_n).alias("_sh"),
+        "ts",
+    ).select(
+        "row_key",
+        minhash_of_shingles(F.col("_sh"), num_hashes).alias("sig"),
+        "ts",
     ).select(
         "row_key",
         "sig",

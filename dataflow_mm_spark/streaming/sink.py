@@ -61,11 +61,13 @@ class ExactlyOnceParquetSink:
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(path)
-        # per-partition lineage metrics gathered from the written files
+        # per-partition lineage metrics from parquet footers (no recompute)
+        import pyarrow.parquet as pq
+
         files = []
         for root, _, names in os.walk(path):
             files += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
-        n_rows = out.sparkSession.read.parquet(path).count() if files else 0
+        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         manifest = {
             "batch_id": batch_id,
             "rows": n_rows,
