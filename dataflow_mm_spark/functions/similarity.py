@@ -202,7 +202,7 @@ def ann_lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_v"),
         sig(F.col(vec_col)).alias("_b"),
-    )
+    ).withColumn("_vn", norm(F.col("_v")))
     flips = [0] + [1 << i for i in range(n_planes)]
     if probe_bits >= 2:
         flips += [
@@ -220,12 +220,15 @@ def ann_lsh_topk(
             sig(F.col(vec_col)).alias("_qb"),
         )
         .filter(F.col("query_id") < max_queries)
+        .withColumn("_qn", norm(F.col("_q")))
         .withColumn("_probe", F.explode(probes))
     )
     scored = base.join(
         broadcast(q),
         (F.col("_b") == F.col("_probe")) & (F.col("neighbor_id") != F.col("query_id")),
-    ).withColumn("sim", cosine(F.col("_q"), F.col("_v")))
+    ).withColumn(
+        "sim", dot(F.col("_q"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )

@@ -82,24 +82,23 @@ def winnow_fingerprints(texts: pd.Series) -> pd.Series:
     polynomial hash over character 5-grams, window-4 minima. Vectorized numpy
     per document; used for robust near-dup sketching (rows-only oracle)."""
     K, W, B, M = 5, 4, 257, (1 << 61) - 1
-    top = pow(B, K - 1, M)
+    # direct polynomial evaluation: max term 255 * sum(B^0..B^4) ≈ 1.1e12,
+    # well inside int64 — fully vectorized, identical to the mod-M recurrence
+    powers = np.array([B ** (K - 1 - j) for j in range(K)], dtype=np.int64)
 
     def fp(t: str | None) -> list[int]:
         if not t or len(t) < K:
             return []
         a = np.frombuffer(t.lower().encode("utf-8", "ignore"), dtype=np.uint8)
-        n = len(a) - K + 1
-        h = np.zeros(n, dtype=np.int64)
-        acc = 0
-        for i in range(K):
-            acc = (acc * B + int(a[i])) % M
-        h[0] = acc
-        for i in range(1, n):
-            acc = ((acc - int(a[i - 1]) * top) * B + int(a[i + K - 1])) % M
-            h[i] = acc
-        if n <= W:
+        if len(a) < K:
+            return []
+        win = np.lib.stride_tricks.sliding_window_view(a, K).astype(np.int64)
+        h = (win @ powers) % M
+        if len(h) <= W:
             return [int(h.min())]
-        mins = {int(h[i : i + W].min()) for i in range(n - W + 1)}
-        return sorted(mins)
+        mins = np.unique(
+            np.lib.stride_tricks.sliding_window_view(h, W).min(axis=1)
+        )
+        return mins.tolist()
 
     return texts.map(fp)

@@ -113,14 +113,15 @@ def _cep_fn(
 
     for pdf in pdf_iter:
         for r in pdf.itertuples():
-            has_call = bool(r.text) and "<tool_call>" in r.text
+            ts_us = _ts_us(r.ts)
             pending[str(int(r.turn_idx))] = [
                 r.role,
                 r.tool if isinstance(r.tool, str) else None,
-                has_call,
-                _ts_us(r.ts),
+                bool(r.has_call),
+                ts_us,
             ]
-            st[10] = max(st[10], _ts_us(r.ts))
+            if ts_us > st[10]:
+                st[10] = ts_us
 
     # consume the contiguous prefix
     while str(st[0]) in pending:
@@ -159,7 +160,8 @@ def _cep_fn(
     state.setTimeoutTimestamp(
         max(st[10] // 1000 + close_gap_us // 1000, wm_ms + 1000)
     )
-    yield pd.DataFrame(out, columns=["conv_id", "kind", "turn_idx", "detail", "ts"])
+    if out:  # skipping the empty frame saves a pandas alloc per quiet key
+        yield pd.DataFrame(out, columns=["conv_id", "kind", "turn_idx", "detail", "ts"])
 
 
 def cep_stream(turns: DataFrame, close_gap: str = "30 minutes") -> DataFrame:
@@ -169,8 +171,19 @@ def cep_stream(turns: DataFrame, close_gap: str = "30 minutes") -> DataFrame:
     def fn(key, it, state):
         return _cep_fn(key, it, state, close_gap_us=gap_us)
 
+    from pyspark.sql import functions as F
+
+    # has_call computed JVM-side so the text column (the bulk of the bytes)
+    # never crosses the Arrow boundary into the Python state function
     return (
-        turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.col("text").contains("<tool_call>").alias("has_call"),
+            "tool",
+            "ts",
+        )
         .groupBy("conv_id")
         .applyInPandasWithState(
             fn,
