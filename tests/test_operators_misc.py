@@ -1,0 +1,193 @@
+"""Tests: expansion, topk, filters, generators, trees, multimodal, io."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataflow_mm_spark.operators import expansion as E
+from dataflow_mm_spark.operators import filters as FL
+from dataflow_mm_spark.operators import generate as G
+from dataflow_mm_spark.operators import multimodal as MM
+from dataflow_mm_spark.operators import topk as TK
+from dataflow_mm_spark.operators import trees as TR
+
+
+@pytest.fixture(scope="module")
+def spans(spark):
+    rows = [
+        ("c1", [(0.0, 5.0), (6.0, 12.0), (13.0, 28.0), (40.0, 45.0), (46.0, 80.0)]),
+        ("c2", [(0.0, 100.0)]),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, timestamps array<struct<start:double,end:double>>"
+    )
+
+
+def test_explode_spans(spark, spans):
+    out = E.explode_spans(spans).collect()
+    assert len(out) == 6
+    first = [r for r in out if r.conv_id == "c1" and r.span_idx == 0][0]
+    assert (first.span_start, first.span_end) == (0.0, 5.0)
+
+
+def test_merge_spans_capped(spark, spans):
+    rows = E.merge_spans_capped(
+        E.explode_spans(spans), max_duration=30.0
+    ).orderBy("conv_id", "sequence_num").collect()
+    c1 = [r for r in rows if r.conv_id == "c1"]
+    # greedy: [0-5, 6-12, 13-28] (28-0 ≤ 30), then [40-45] (46-80 breaks 40s cap... 80-40=40>30)
+    assert [(r.sequence_num, r.merged_start, r.merged_end, r.n_spans) for r in c1] == [
+        (0, 0.0, 28.0, 3),
+        (1, 40.0, 45.0, 1),
+        (2, 46.0, 80.0, 1),
+    ]
+    c2 = [r for r in rows if r.conv_id == "c2"]
+    assert [(r.sequence_num, r.n_spans) for r in c2] == [(0, 1)]
+
+
+def test_sample_points(spark, spans):
+    out = E.sample_points(
+        E.explode_spans(spans).filter("conv_id='c1' and span_idx=1"),
+        interval=2.0,
+    ).collect()
+    assert sorted(r.sample_t for r in out) == [6.0, 8.0, 10.0, 12.0]
+
+
+def test_keep_top_ratio_and_topk(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, score double"
+    )
+    kept = TK.keep_top_ratio(df, "score", keep_ratio=0.2)
+    ids = sorted(r.id for r in kept.collect())
+    # percent_rank = rank/(n-1); <= 0.2 keeps ranks 0..19 → scores 99..80
+    assert ids == list(range(80, 100))
+    top = TK.top_k(df, "score", 3, tiebreak="id")
+    assert sorted(r.id for r in top.collect()) == [97, 98, 99]
+    s1 = {r.id for r in TK.seeded_sample_cap(df, 10, seed=7).collect()}
+    s2 = {r.id for r in TK.seeded_sample_cap(df, 10, seed=7).collect()}
+    assert s1 == s2 and len(s1) == 10
+
+
+def test_score_and_nested_filters(spark):
+    df = spark.createDataFrame([(1, 0.5), (2, 0.9), (3, 0.1)], "id long, score double")
+    out = {r.id: r.select for r in FL.score_filter(df, "score", 0.3, 0.8).collect()}
+    assert out == {1: True, 2: False, 3: False}
+
+    clips = spark.createDataFrame(
+        [(1, [(4.5, 0.1), (3.0, 0.5), (None, 0.2)])],
+        "id long, clips array<struct<aes:double,ocr:double>>",
+    )
+    strict = FL.nested_clip_filter(
+        clips, "clips", {"aes": (4.0, None), "ocr": (None, 0.3)}, strict=True
+    ).first()
+    assert [(c.aes, c.ocr) for c in strict.clips_kept] == [(4.5, 0.1)]
+    lenient = FL.nested_clip_filter(
+        clips, "clips", {"aes": (4.0, None), "ocr": (None, 0.3)}, strict=False
+    ).first()
+    assert [(c.aes, c.ocr) for c in lenient.clips_kept] == [(4.5, 0.1), (None, 0.2)]
+
+
+def test_functional_refiner(spark):
+    df = spark.createDataFrame([("ab",), ("xyz",)], "t string")
+    fn = FL.functional_refiner(lambda t: t.upper() + "!", T.StringType())
+    out = [r.u for r in df.select(fn(F.col("t")).alias("u")).collect()]
+    assert out == ["AB!", "XYZ!"]
+
+
+def test_prompted_and_templated_generator(spark):
+    df = spark.createDataFrame([("what is 2+2",), ("hello",)], "prompt string")
+    out = G.prompted_generator(df).collect()
+    assert all(r.answer.startswith("<answer> echo:") for r in out)
+    assert "what is 2+2" in out[0].answer
+
+    df2 = spark.createDataFrame([("cats", "dogs")], "a string, b string")
+    out2 = G.templated_generator(df2, "compare {a} vs {b}", {"a": "a", "b": "b"})
+    ans = out2.first().answer
+    assert "compare cats vs dogs"[:20] in ans
+
+
+def test_batch_list_generator(spark):
+    df = spark.createDataFrame([(["p1", "p2", "p3"],)], "prompts array<string>")
+    out = G.batch_list_generator(df).first()
+    assert len(out.answers) == 3
+    assert "p2" in out.answers[1]
+
+
+def test_rollout_and_judge(spark):
+    df = spark.createDataFrame(
+        [("q1", "<answer>4</answer>"), ("q2", "<answer>9</answer>")],
+        "question string, gold string",
+    )
+
+    def judge():
+        return lambda prompts: ["grade: B"] * len(prompts)
+
+    out = G.rollout_and_judge(df, "question", "gold", judge_factory=judge)
+    assert out.count() == 2  # all judged 'B' == failed == kept
+
+
+def test_mcts_chain_extraction(spark):
+    tree = {
+        "text": "root",
+        "children": [
+            {
+                "text": "step1",
+                "rollouts": [{"correct": False, "text": "bad guess"}],
+                "children": [
+                    {"text": "step2", "is_terminal": True, "is_correct": True}
+                ],
+            },
+            {"text": "dead", "is_terminal": True, "is_correct": False},
+        ],
+    }
+    df = spark.createDataFrame([(1, json.dumps(tree))], "id long, tree string")
+    rows = TR.mcts_chain_rows(df).collect()
+    chains = [r.chain for r in rows]
+    assert "root -> step1 -> step2" in chains
+    assert any("[wrong:" in c for c in chains)
+    assert not any("dead" in c for c in chains)
+
+
+def test_multimodal_meta_and_fake_decode(spark):
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    jpg = bytes([0xFF, 0xD8, 0xFF]) + b"\x00" * 32
+    df = spark.createDataFrame([(1, png), (2, jpg)], "doc_id long, payload binary")
+    metas = {r.doc_id: r.meta for r in MM.with_asset_meta(df).collect()}
+    assert metas[1].mime == "image/png" and metas[2].mime == "image/jpeg"
+    assert metas[1].n_bytes == len(png)
+
+    feats = MM.decode_and_featurize(df, fake=True).collect()
+    assert len(feats) == 2
+    assert all(len(r.feature) == 8 and r.width == 224 for r in feats)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        MM.decode_and_featurize(df, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 3.5, 30.0)], "vid long, duration_sec double, fps double")
+    rows = MM.frame_sample_plan(df, interval_sec=1.0).collect()
+    assert [r.frame_idx for r in rows] == [0, 30, 60, 90]
+
+
+def test_step_storage_roundtrip(spark, tmp_path):
+    from dataflow_mm_spark.sources.io import StepStorage, read_any, write_any
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    entry = str(tmp_path / "entry.parquet")
+    write_any(src, entry)
+    st = StepStorage(spark, entry, str(tmp_path / "cache"))
+    df0 = st.read()
+    st.write(df0.withColumn("v2", F.upper("v")))
+    st.step()
+    df1 = st.read()
+    assert {r.v2 for r in df1.collect()} == {"A", "B"}
+    # jsonl roundtrip
+    jl = str(tmp_path / "x.jsonl")
+    write_any(src, jl, fmt="jsonl")
+    back = read_any(spark, jl, fmt="jsonl")
+    assert back.count() == 2
