@@ -295,6 +295,42 @@ SELECT a.conv_id, a.turn_idx, a.role, b.role AS prev_role
 FROM t a JOIN t b ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx - 1
 """
 
+
+def transcript_messages_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation assembly parity (Conversation2Message P1): assemble the
+    ordered message array per conversation, then flatten back to rows so the
+    ordering + system-prepend + per-turn cleanup are SQL-checkable."""
+    from dataflow_mm_spark.operators.conversation import assemble_messages
+
+    t = _turns_from_events(spark, sf_dir)
+    msgs = assemble_messages(t)
+    return msgs.select(
+        "conv_id", F.posexplode("message").alias("seq", "m")
+    ).select(
+        "conv_id",
+        F.col("seq").cast("long").alias("seq"),
+        F.col("m.role").alias("role"),
+        F.col("m.content").alias("content"),
+    )
+
+
+TRANSCRIPT_MESSAGES_SQL = f"""
+WITH t AS ({_TURNS_SQL}),
+body AS (
+  SELECT conv_id, turn_idx + 1 AS seq, role,
+         trim(regexp_replace(
+           trim(replace(replace(replace(text, '<image>', ''), '<video>', ''), '<audio>', '')),
+           '\\n+', chr(10), 'g')) AS content
+  FROM t
+),
+sys AS (
+  SELECT DISTINCT conv_id, 0 AS seq, 'system' AS role,
+         'You are a helpful assistant.' AS content
+  FROM t
+)
+SELECT * FROM sys UNION ALL SELECT * FROM body WHERE content <> ''
+"""
+
 # ---------------------------------------------------------------------------
 # documents: quality / dedup / text analysis
 # ---------------------------------------------------------------------------
@@ -595,6 +631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dedup_first": events_dedup_first,
     "events_cep_error_purchase": events_cep_error_purchase,
     "transcript_prevturn_join": transcript_prevturn_join,
+    "transcript_messages_flat": transcript_messages_flat,
     "docs_quality_filter": docs_quality_filter,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_neardup": docs_ngram_neardup,
@@ -625,6 +662,7 @@ ORACLES: dict[str, str] = {
     "events_dedup_first": EVENTS_DEDUP_SQL,
     "events_cep_error_purchase": EVENTS_CEP_SQL,
     "transcript_prevturn_join": TRANSCRIPT_PREVTURN_SQL,
+    "transcript_messages_flat": TRANSCRIPT_MESSAGES_SQL,
     "docs_quality_filter": DOCS_QUALITY_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_ngram_neardup": DOCS_NGRAM_NEARDUP_SQL,

@@ -26,21 +26,33 @@ from dataflow_mm_spark.session import get_spark
 from dataflow_mm_spark.streaming import jobs
 
 master, inp, work = sys.argv[1], sys.argv[2], sys.argv[3]
+MFT = 16  # 64 input files -> 4 micro-batches; sustained = batches after the first
 spark = get_spark("scale", master=master)
 n = spark.read.parquet(inp).count()
 res = {"master": master, "n_turns": n}
 for name, fn in [
-    ("enrich_dedup", lambda o, c: jobs.turns_pipeline(spark, inp, o, c, dedup=True)),
-    ("window", lambda o, c: jobs.windowed_pipeline(spark, inp, o, c)),
-    ("cep", lambda o, c: jobs.cep_pipeline(spark, inp, o, c)),
+    ("enrich_dedup", lambda o, c: jobs.turns_pipeline(
+        spark, inp, o, c, dedup=True, max_files_per_trigger=MFT)),
+    ("window", lambda o, c: jobs.windowed_pipeline(
+        spark, inp, o, c, max_files_per_trigger=MFT)),
+    ("cep", lambda o, c: jobs.cep_pipeline(
+        spark, inp, o, c, max_files_per_trigger=MFT)),
 ]:
     out, ck = os.path.join(work, name + "_out"), os.path.join(work, name + "_ck")
     t0 = time.time()
     q, _ = fn(out, ck)
     q.awaitTermination()
     dt = time.time() - t0
+    prog = [json.loads(p.json) for p in q.recentProgress]
+    # sustained: steady-state batches only (skip batch 0 = cold start: JVM
+    # warmup, codegen compile, state store init)
+    steady = [p for p in prog[1:] if p.get("numInputRows", 0) > 0]
+    rows = sum(p["numInputRows"] for p in steady)
+    secs = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000.0
     res[name + "_sec"] = round(dt, 2)
-    res[name + "_tps"] = round(n / dt, 1)
+    res[name + "_wall_tps"] = round(n / dt, 1)
+    res[name + "_tps"] = round(rows / secs, 1) if secs > 0 else None
+    res[name + "_batches"] = len(prog)
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
 print("RESULT " + json.dumps(res))
