@@ -87,6 +87,32 @@ def _lcs_f1(ref: list[str], hyp: list[str]) -> float:
     return _f1(int(dp[m][n]), m, n)
 
 
+def bleu(ref: str, hyp: str, max_n: int = 4) -> float:
+    """Sentence BLEU with add-epsilon smoothing on zero n-gram counts
+    (reference compute_bleu_score uses nltk SmoothingFunction().method1,
+    general_text_answer_evaluator.py:83-93; formula from Papineni et al.
+    2002 / Chen & Cherry 2014 method1)."""
+    import math
+    from collections import Counter
+
+    rt, ht = ref.split(), hyp.split()
+    if not ht:
+        return 0.0
+    log_p = 0.0
+    for n in range(1, max_n + 1):
+        hg = Counter(tuple(ht[i : i + n]) for i in range(len(ht) - n + 1))
+        rg = Counter(tuple(rt[i : i + n]) for i in range(len(rt) - n + 1))
+        total = sum(hg.values())
+        if total == 0:
+            return 0.0
+        overlap = sum(min(c, rg[g]) for g, c in hg.items())
+        # method1: add 0.1 to zero numerators
+        p = (overlap if overlap > 0 else 0.1) / total
+        log_p += math.log(p)
+    bp = 1.0 if len(ht) > len(rt) else math.exp(1 - len(rt) / max(1, len(ht)))
+    return bp * math.exp(log_p / max_n)
+
+
 def rouge_mean(ref: str, hyp: str) -> float:
     rt = _TOKEN_RE.findall(ref.lower())
     ht = _TOKEN_RE.findall(hyp.lower())
