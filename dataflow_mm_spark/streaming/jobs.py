@@ -65,9 +65,17 @@ def turns_pipeline(
     )
     if dedup:
         turns = exact_dedup_stream(turns)
-    enriched = enrich_turns(turns).filter(F.col("quality.pass"))
+    enriched = enrich_turns(turns)
+    # per-batch observability: input/kept counts land in StreamingQueryProgress
+    # .observedMetrics (and the MetricsListener jsonl)
+    enriched = enriched.observe(
+        "quality",
+        F.count(F.lit(1)).alias("turns_in"),
+        F.sum(F.when(F.col("quality.pass"), 1).otherwise(0)).alias("turns_kept"),
+    )
+    filtered = enriched.filter(F.col("quality.pass"))
     sink = ExactlyOnceParquetSink(out_dir)
-    q = _start(enriched, sink, checkpoint, available_now)
+    q = _start(filtered, sink, checkpoint, available_now)
     return q, sink
 
 
