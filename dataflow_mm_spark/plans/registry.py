@@ -391,6 +391,36 @@ WHERE NOT (
 """
 
 
+# deterministic defect injection so the quality filter has true positives to
+# drop (the synthetic documents are clean): same expression on both engines
+_MUTATE_SQL = (
+    "CASE CAST(doc_id % 7 AS INT) "
+    "WHEN 0 THEN text || ':' "
+    "WHEN 1 THEN upper(text) "
+    "WHEN 2 THEN text || ' lorem ipsum' "
+    "WHEN 3 THEN text || ' &nbsp;' "
+    "WHEN 4 THEN text || ' Copyright' "
+    "WHEN 5 THEN text || '" + " ...\n x ...\n y ...\n" + "' "
+    "ELSE text END"
+)
+
+
+def docs_quality_filter_mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cache = projection barrier: otherwise filter pushdown inlines the CASE
+    # mutation into every one of the 15 rule expressions (30x re-eval)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_MUTATE_SQL).alias("text")
+    ).cache()
+    return Q.rule_base_filter(docs).select("doc_id")
+
+
+DOCS_QUALITY_MUT_SQL = DOCS_QUALITY_SQL.replace(
+    "FROM documents",
+    f"FROM (SELECT doc_id, {_MUTATE_SQL} AS text FROM documents)",
+    1,
+)
+
+
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.exact_dedup(docs).select("doc_id")
@@ -633,6 +663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_prevturn_join": transcript_prevturn_join,
     "transcript_messages_flat": transcript_messages_flat,
     "docs_quality_filter": docs_quality_filter,
+    "docs_quality_filter_mutated": docs_quality_filter_mutated,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_neardup": docs_ngram_neardup,
     "docs_minhash_signatures": docs_minhash_signatures,
@@ -664,6 +695,7 @@ ORACLES: dict[str, str] = {
     "transcript_prevturn_join": TRANSCRIPT_PREVTURN_SQL,
     "transcript_messages_flat": TRANSCRIPT_MESSAGES_SQL,
     "docs_quality_filter": DOCS_QUALITY_SQL,
+    "docs_quality_filter_mutated": DOCS_QUALITY_MUT_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_ngram_neardup": DOCS_NGRAM_NEARDUP_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
