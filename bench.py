@@ -45,11 +45,25 @@ def run_streaming_bench(spark, n_convs: int, workdir: str) -> dict[str, float]:
     write_transcripts(spark, inp, n_convs=n_convs, files=64)
     n_turns = spark.read.parquet(inp).count()
 
+    def sustained(q) -> float | None:
+        import json as _json
+
+        prog = [_json.loads(p.json) for p in q.recentProgress]
+        steady = [p for p in prog[1:] if p.get("numInputRows", 0) > 0]
+        if not steady:
+            return None
+        rows = sum(p["numInputRows"] for p in steady)
+        secs = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000.0
+        return round(rows / secs, 1) if secs > 0 else None
+
     out, ckpt = os.path.join(workdir, "turns_out"), os.path.join(workdir, "ck1")
     t0 = time.time()
-    q, sink = jobs.turns_pipeline(spark, inp, out, ckpt, dedup=True)
+    q, sink = jobs.turns_pipeline(
+        spark, inp, out, ckpt, dedup=True, max_files_per_trigger=16
+    )
     q.awaitTermination()
     turns_sec = time.time() - t0
+    turns_sustained = sustained(q)
 
     out2, ckpt2 = os.path.join(workdir, "cep_out"), os.path.join(workdir, "ck2")
     t0 = time.time()
@@ -69,6 +83,7 @@ def run_streaming_bench(spark, n_convs: int, workdir: str) -> dict[str, float]:
         "stream_cep_sec": round(cep_sec, 2),
         "stream_window_sec": round(win_sec, 2),
         "turns_per_sec": round(n_turns / turns_sec, 1),
+        "turns_per_sec_sustained": turns_sustained,
         "cep_turns_per_sec": round(n_turns / cep_sec, 1),
         "window_turns_per_sec": round(n_turns / win_sec, 1),
     }
@@ -93,7 +108,7 @@ def main() -> None:
 
     result = {
         "metric": "turns_per_sec_sustained",
-        "value": stream["turns_per_sec"],
+        "value": stream.get("turns_per_sec_sustained") or stream["turns_per_sec"],
         "unit": "turns/sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
