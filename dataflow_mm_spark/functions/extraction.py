@@ -48,3 +48,28 @@ def extract_tool_result(text: Column) -> Column:
 
 def has_answer(text: Column) -> Column:
     return text.rlike(ANSWER_PATTERN)
+
+
+def parse_qa_blocks(text: Column) -> Column:
+    """WikiQARefiner shape (wiki_qa_refiner.py:22-77): parse LLM output with
+    a context paragraph and repeated ``Q: .../A: ...`` lines into
+    struct(context, qas: array<struct<question,answer>>). Pure Spark:
+    regexp_extract_all + arrays_zip. Unpaired trailing Qs are dropped (zip
+    truncates to the shorter side)."""
+    qs = F.regexp_extract_all(text, F.lit(r"(?m)^Q:\s*(.+?)\s*$"), F.lit(1))
+    as_ = F.regexp_extract_all(text, F.lit(r"(?m)^A:\s*(.+?)\s*$"), F.lit(1))
+    n = F.least(F.size(qs), F.size(as_))
+    qas = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(qs, i).alias("question"),
+            F.element_at(as_, i).alias("answer"),
+        ),
+    )
+    context = F.trim(F.regexp_extract(text, r"(?s)^(.*?)(?:\nQ:|$)", 1))
+    return F.struct(
+        context.alias("context"),
+        F.when(n >= 1, qas).otherwise(
+            F.array().cast("array<struct<question:string,answer:string>>")
+        ).alias("qas"),
+    )

@@ -38,6 +38,24 @@ def test_extract_answer_and_tool_calls(spark, tiny_transcripts):
         assert r.ans == ((m.group(1).strip()) if m else "")
 
 
+def test_parse_qa_blocks(spark):
+    text = (
+        "Some context paragraph about rivers.\n"
+        "Q: what is a river?\nA: flowing water.\n"
+        "Q: where does it end?\nA: the sea.\n"
+        "Q: unpaired question"
+    )
+    df = spark.createDataFrame([(text,), ("no qa here",)], "t string")
+    rows = df.select(X.parse_qa_blocks(F.col("t")).alias("p")).collect()
+    p = rows[0].p
+    assert p.context == "Some context paragraph about rivers."
+    assert [(q.question, q.answer) for q in p.qas] == [
+        ("what is a river?", "flowing water."),
+        ("where does it end?", "the sea."),
+    ]
+    assert rows[1].p.qas == [] and rows[1].p.context == "no qa here"
+
+
 def test_reward_parity(spark):
     cases = [
         ("<answer>A</answer>", "<answer>A</answer>", "multiple choice"),
