@@ -137,6 +137,36 @@ def cep_pipeline(
     return q, sink
 
 
+def context_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    max_gap: str = "1 hour",
+    available_now: bool = True,
+):
+    """Stream-stream prev-turn join → stateless consistency features →
+    exactly-once sink. Stateless work after a stream-stream join is legal in
+    one append-mode query; chaining a second STATEFUL op after the join is
+    where Spark's restrictions bite (SURVEY §7.7) — that composition runs as
+    two queries through an intermediate sink (join output dir → CEP input)."""
+    from dataflow_mm_spark.streaming.joins import prev_turn_context_stream
+
+    raw = spark.readStream.schema(
+        __import__("dataflow_mm_spark.schema", fromlist=["TRANSCRIPT_SCHEMA"]).TRANSCRIPT_SCHEMA
+    ).parquet(input_path)
+    ctx = prev_turn_context_stream(raw, watermark=watermark, max_gap=max_gap)
+    out = ctx.select(
+        "*",
+        (F.col("role") == F.col("prev_role")).alias("role_repeat"),
+        quality_struct(F.col("text"))["pass"].alias("quality_pass"),
+    )
+    sink = ExactlyOnceParquetSink(out_dir)
+    q = _start(out, sink, checkpoint, available_now)
+    return q, sink
+
+
 def sessionized_pipeline(
     spark: SparkSession,
     input_path: str,

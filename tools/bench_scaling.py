@@ -26,7 +26,7 @@ from dataflow_mm_spark.session import get_spark
 from dataflow_mm_spark.streaming import jobs
 
 master, inp, work = sys.argv[1], sys.argv[2], sys.argv[3]
-MFT = 64  # 256 input files -> 4 micro-batches; 64 scan tasks saturate both parallelism levels
+MFT = 32  # 64 input files -> 2 large micro-batches; batch 1 is the sustained sample
 spark = get_spark("scale", master=master)
 n = spark.read.parquet(inp).count()
 res = {"master": master, "n_turns": n}
@@ -86,7 +86,7 @@ def main() -> None:
         "from dataflow_mm_spark.session import get_spark; "
         "from dataflow_mm_spark.datagen import write_transcripts; "
         "s = get_spark('gen', master='local[32]'); "
-        "write_transcripts(s, %r, n_convs=%d, files=256)"
+        "write_transcripts(s, %r, n_convs=%d, files=64)"
     ) % (REPO, inp, n_convs)
     subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True)
 
