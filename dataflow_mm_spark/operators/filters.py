@@ -79,6 +79,36 @@ def nested_clip_filter(
     return df.withColumn(out, F.filter(F.col(clips_col), elem_ok))
 
 
+def span_score_filter(
+    df: DataFrame,
+    spans_col: str = "alignment",
+    mode: str = "min",
+    threshold: float = 0.8,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """CTCForcedAlignmentFilter semantics (audio_ctc...filter.py:191-228):
+    aggregate per-span scores by min or mean over a nested
+    array<struct<...,score>> and keep rows ≥ threshold; rows with no spans
+    (alignment errors) are dropped. Pure aggregate() HOF — no explode."""
+    spans = F.col(spans_col)
+    if mode == "min":
+        agg = F.aggregate(
+            spans,
+            F.lit(float("inf")),
+            lambda acc, s: F.least(acc, s["score"]),
+        )
+    elif mode == "mean":
+        agg = F.aggregate(
+            spans, F.lit(0.0), lambda acc, s: acc + s["score"]
+        ) / F.size(spans)
+    else:
+        raise ValueError(f"mode must be min|mean, got {mode}")
+    out = df.withColumn("_span_score", agg)
+    if drop_empty:
+        out = out.filter(F.size(spans) > 0)
+    return out.filter(F.col("_span_score") >= threshold).drop("_span_score")
+
+
 def functional_refiner(
     fn: Callable, return_type: T.DataType | None = None
 ) -> Callable[..., Column]:

@@ -92,6 +92,21 @@ def test_score_and_nested_filters(spark):
     assert [(c.aes, c.ocr) for c in lenient.clips_kept] == [(4.5, 0.1), (None, 0.2)]
 
 
+def test_span_score_filter(spark):
+    rows = [
+        (1, [(0.0, 1.0, 0.9), (1.0, 2.0, 0.85)]),
+        (2, [(0.0, 1.0, 0.9), (1.0, 2.0, 0.5)]),
+        (3, []),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, alignment array<struct<start:double,end:double,score:double>>"
+    )
+    kept_min = {r.id for r in FL.span_score_filter(df, mode="min", threshold=0.8).collect()}
+    assert kept_min == {1}
+    kept_mean = {r.id for r in FL.span_score_filter(df, mode="mean", threshold=0.69).collect()}
+    assert kept_mean == {1, 2}
+
+
 def test_functional_refiner(spark):
     df = spark.createDataFrame([("ab",), ("xyz",)], "t string")
     fn = FL.functional_refiner(lambda t: t.upper() + "!", T.StringType())
