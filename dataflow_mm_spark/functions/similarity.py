@@ -240,6 +240,67 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    max_queries: int = 10,
+) -> DataFrame:
+    """IVF-style ANN: Spark ML KMeans partitions vectors into cells; each
+    query probes its ``n_probe`` nearest cells and ranks candidates exactly.
+    The inverted-file structure is what scales — at warehouse size the cell
+    assignment is a write-time bucketing column and only probed cells are
+    scanned (partition pruning)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("features", array_to_vector(F.col("_v")))
+    model = KMeans(k=n_cells, seed=seed).fit(feats)
+    assigned = model.transform(feats).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v"),
+        F.col("prediction").alias("_cell"),
+    ).withColumn("_vn", norm(F.col("_v")))
+
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    bc = df.sparkSession.sparkContext.broadcast(centers)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.array([list(v) for v in vecs], dtype=np.float64)
+        d = ((m[:, None, :] - bc.value[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d, axis=1)[:, :n_probe]
+        return pd.Series([row.tolist() for row in order])
+
+    q = (
+        df.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_q"))
+        .filter(F.col("query_id") < max_queries)
+        .withColumn("_qn", norm(F.col("_q")))
+        .withColumn("_probe", F.explode(probe_cells(F.col("_q"))))
+    )
+    scored = assigned.join(
+        broadcast(q),
+        (F.col("_cell") == F.col("_probe")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn(
+        "sim", dot(F.col("_q"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def knn_avg_similarity(
     df: DataFrame,
     k: int = 5,

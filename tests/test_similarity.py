@@ -55,6 +55,20 @@ def test_ann_lsh_recall(spark, emb, emb_np):
     assert hits / total >= 0.7, f"recall {hits/total}"
 
 
+def test_ann_ivf_recall(spark, emb, emb_np):
+    ids, m = emb_np
+    got = S.ann_ivf_topk(emb, k=5, n_cells=8, n_probe=4, max_queries=10).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for qid in range(10):
+        want = set(_topk_oracle(ids, m, qid, 5))
+        hits += len(by_q.get(qid, set()) & want)
+        total += len(want)
+    assert hits / total >= 0.5, f"recall {hits/total}"
+
+
 def test_cosine_neardup_pairs_symmetric_bound(spark, emb):
     sub = emb.filter(F.col("vec_id") < 60)
     pairs = S.cosine_neardup_pairs(sub, threshold=0.9).collect()
