@@ -264,6 +264,47 @@ def minhash_lsh_dedup(
     return df.join(dups, on=id_col, how="left_anti")
 
 
+# --------------------------- MLlib LSH variant -------------------------------
+
+
+def mllib_minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hash_tables: int = 8,
+    max_distance: float = 0.5,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Stock Spark ML path: shingles → HashingTF sparse vectors → MinHashLSH
+    ``approxSimilarityJoin`` (distance = 1 - Jaccard estimate). Returns
+    (id_a, id_b, jaccard_est) with id_a < id_b. Complements the portable
+    md5 MinHash (minhash_lsh_pairs) — this variant rides MLlib's native
+    banding/bucketing and is the drop-in for warehouse-scale runs."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = (
+        df.select(F.col(id_col).alias("_id"), norm_words(F.col(text_col)).alias("_w"))
+        .select("_id", shingles_of_words(F.col("_w"), n).alias("_sh"))
+    )
+    tf = HashingTF(inputCol="_sh", outputCol="features", numFeatures=num_features)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    ).fit(feats)
+    joined = lsh.approxSimilarityJoin(feats, feats, max_distance, distCol="dist")
+    return (
+        joined.filter(F.col("datasetA._id") < F.col("datasetB._id"))
+        .select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            F.round(1 - F.col("dist"), 6).alias("jaccard_est"),
+        )
+    )
+
+
 # -------------------------------- SimHash ------------------------------------
 
 

@@ -96,6 +96,16 @@ def test_minhash_signature_identical_for_normalized_dups(spark, docs):
     assert sigs[0] != sigs[3]
 
 
+def test_mllib_minhash_pairs(spark, docs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.mllib_minhash_pairs(docs, max_distance=0.6).collect()
+    }
+    # exact duplicates must surface; unrelated docs must not pair
+    assert (0, 1) in got and (0, 5) in got
+    assert (3, 4) not in got
+
+
 def test_simhash_neardup(spark, docs):
     pairs = {
         (r.id_a, r.id_b, r.hamming)

@@ -73,6 +73,22 @@ def test_keep_top_ratio_and_topk(spark):
     assert s1 == s2 and len(s1) == 10
 
 
+def test_keep_top_ratio_approx_and_nulls_last(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id long, score double"
+    )
+    kept = TK.keep_top_ratio(df, "score", keep_ratio=0.1, approx=True)
+    n = kept.count()
+    assert 95 <= n <= 110  # percentile_approx threshold, single pass
+    assert kept.agg(F.min("score")).first()[0] >= 890
+
+    with_nulls = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 1.0)], "id long, v double"
+    )
+    ordered = [r.id for r in TK.order_nulls_last(with_nulls, "v").collect()]
+    assert ordered == [3, 1, 2]
+
+
 def test_score_and_nested_filters(spark):
     df = spark.createDataFrame([(1, 0.5), (2, 0.9), (3, 0.1)], "id long, score double")
     out = {r.id: r.select for r in FL.score_filter(df, "score", 0.3, 0.8).collect()}
