@@ -421,6 +421,72 @@ DOCS_QUALITY_MUT_SQL = DOCS_QUALITY_SQL.replace(
 )
 
 
+def docs_reward_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Answer-reward evaluation (A1) under the driver gate: deterministic
+    gt/model-output pairs derived from doc_id, one SQL-expressible question
+    type per residue class (exact / numerical / regression)."""
+    from dataflow_mm_spark.functions.evaluate import reward
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat('<answer>', CASE WHEN doc_id % 3 = 2 THEN concat(CAST(doc_id % 50 AS STRING), '.25') "
+            "ELSE CAST(doc_id % 50 AS STRING) END, '</answer>')"
+        ).alias("gt_solution"),
+        F.expr(
+            "concat('prefix text <answer>', CASE WHEN doc_id % 3 = 2 THEN concat(CAST(doc_id % 40 AS STRING), '.25') "
+            "ELSE CAST(doc_id % 40 AS STRING) END, '</answer>')"
+        ).alias("model_output"),
+        F.expr(
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'multiple choice' "
+            "WHEN 1 THEN 'numerical' ELSE 'regression' END"
+        ).alias("question_type"),
+    )
+    return docs.select(
+        "doc_id",
+        "question_type",
+        F.round(
+            reward(
+                F.col("gt_solution"), F.col("model_output"), F.col("question_type")
+            ),
+            6,
+        ).alias("reward"),
+    )
+
+
+DOCS_REWARD_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 50 AS VARCHAR) || '.25'
+         ELSE CAST(doc_id % 50 AS VARCHAR) END AS gt,
+    CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 40 AS VARCHAR) || '.25'
+         ELSE CAST(doc_id % 40 AS VARCHAR) END AS out,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'multiple choice'
+         WHEN 1 THEN 'numerical' ELSE 'regression' END AS question_type
+  FROM documents
+)
+SELECT doc_id, question_type,
+  round(CASE question_type
+    WHEN 'multiple choice' THEN CASE WHEN trim(out) = trim(gt) THEN 1.0 ELSE 0.0 END
+    WHEN 'numerical' THEN
+      CASE WHEN (contains(gt, '.') OR contains(gt, ',')) <> (contains(out, '.') OR contains(out, ','))
+           THEN 0.0
+           WHEN TRY_CAST(replace(gt, ',', '') AS DOUBLE) IS NULL
+             OR TRY_CAST(replace(out, ',', '') AS DOUBLE) IS NULL THEN 0.0
+           WHEN round(TRY_CAST(replace(gt, ',', '') AS DOUBLE), 2)
+              = round(TRY_CAST(replace(out, ',', '') AS DOUBLE), 2) THEN 1.0
+           ELSE 0.0 END
+    ELSE  -- regression
+      CASE WHEN TRY_CAST(replace(gt, ',', '') AS DOUBLE) IS NULL
+             OR TRY_CAST(replace(out, ',', '') AS DOUBLE) IS NULL THEN 0.0
+           ELSE 1.0 - least(1.0, greatest(0.0,
+             (abs(TRY_CAST(replace(out, ',', '') AS DOUBLE) - TRY_CAST(replace(gt, ',', '') AS DOUBLE)) + 1e-9)
+             / (abs(TRY_CAST(replace(gt, ',', '') AS DOUBLE)) + 1e-9))) END
+  END, 6) AS reward
+FROM d
+"""
+
+
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.exact_dedup(docs).select("doc_id")
@@ -664,6 +730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_messages_flat": transcript_messages_flat,
     "docs_quality_filter": docs_quality_filter,
     "docs_quality_filter_mutated": docs_quality_filter_mutated,
+    "docs_reward_eval": docs_reward_eval,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_neardup": docs_ngram_neardup,
     "docs_minhash_signatures": docs_minhash_signatures,
@@ -696,6 +763,7 @@ ORACLES: dict[str, str] = {
     "transcript_messages_flat": TRANSCRIPT_MESSAGES_SQL,
     "docs_quality_filter": DOCS_QUALITY_SQL,
     "docs_quality_filter_mutated": DOCS_QUALITY_MUT_SQL,
+    "docs_reward_eval": DOCS_REWARD_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_ngram_neardup": DOCS_NGRAM_NEARDUP_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,

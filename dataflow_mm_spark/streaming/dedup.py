@@ -106,17 +106,21 @@ def neardup_candidates_stream(
         seen_keys = {e[0] for e in entries}
         out = []
         last_ms = state.get[1] if state.exists else 0
-        for pdf in pdf_iter:
-            for r in pdf.itertuples():
-                s = list(r.sig)
-                for k_seen, s_seen in entries:
-                    agree = sum(a == b for a, b in zip(s, s_seen)) / len(s)
-                    if agree >= min_frac and k_seen != r.row_key:
-                        out.append((r.row_key, k_seen, int(r.band), round(agree, 4)))
-                if r.row_key not in seen_keys:
-                    entries.append([r.row_key, s])
-                    seen_keys.add(r.row_key)
-                last_ms = max(last_ms, int(pd.Timestamp(r.ts).value // 1_000_000))
+        # event-time order within the batch → "first seen" is deterministic
+        rows = sorted(
+            (r for pdf in pdf_iter for r in pdf.itertuples()),
+            key=lambda r: (r.ts, r.row_key),
+        )
+        for r in rows:
+            s = list(r.sig)
+            for k_seen, s_seen in entries:
+                agree = sum(a == b for a, b in zip(s, s_seen)) / len(s)
+                if agree >= min_frac and k_seen != r.row_key:
+                    out.append((r.row_key, k_seen, int(r.band), round(agree, 4)))
+            if r.row_key not in seen_keys:
+                entries.append([r.row_key, s])
+                seen_keys.add(r.row_key)
+            last_ms = max(last_ms, int(pd.Timestamp(r.ts).value // 1_000_000))
         if len(entries) > max_entries:
             entries = entries[-max_entries:]
         state.update((json.dumps(entries), last_ms))
@@ -130,4 +134,17 @@ def neardup_candidates_stream(
         stateStructType=BUCKET_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def resolve_keep_first(turns_df: DataFrame, candidates_df: DataFrame,
+                       key_cols: tuple[str, str] = ("conv_id", "turn_idx")) -> DataFrame:
+    """Batch resolution over accumulated candidate events: drop every row
+    that ever appeared as ``key_new`` (it had an earlier near-duplicate) —
+    the reference's sequential keep-first semantics
+    (image_diversity_filter.py:14-34) applied distributedly."""
+    dups = candidates_df.select("key_new").distinct()
+    keyed = turns_df.withColumn("_k", F.concat_ws("#", *key_cols))
+    return (
+        keyed.join(dups, keyed["_k"] == dups["key_new"], "left_anti").drop("_k")
     )

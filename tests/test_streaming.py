@@ -223,7 +223,19 @@ def test_neardup_candidates_stream(spark, tmp_path):
         .start()
     )
     q.awaitTermination(300)
-    got = {(r.key_new, r.key_seen) for r in sink.read_committed(spark).collect()}
+    cands = sink.read_committed(spark)
+    got = {(r.key_new, r.key_seen) for r in cands.collect()}
     flat = {frozenset(p) for p in got}
     assert frozenset({"c1#0", "c4#0"}) in flat
     assert not any("c3#0" in p for p in flat)
+    # earliest row is never marked as the duplicate side
+    assert not any(k == "c1#0" for k, _ in got)
+
+    # end-to-end keep-first resolution
+    from dataflow_mm_spark.streaming.dedup import resolve_keep_first
+
+    turns = spark.read.parquet(inp)
+    kept = resolve_keep_first(turns, cands)
+    kept_ids = {r.conv_id for r in kept.collect()}
+    assert "c1" in kept_ids and "c3" in kept_ids
+    assert "c4" not in kept_ids  # exact dup of c1, arrived later
