@@ -195,6 +195,184 @@ def cep_stream(turns: DataFrame, close_gap: str = "30 minutes") -> DataFrame:
     )
 
 
+BUCKET_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("convs_json", T.StringType()),
+        T.StructField("max_ts_us", T.LongType()),
+    ]
+)
+
+# per-conv state vector layout inside the bucket JSON:
+# [next_idx, last_ua_role, open_tool, open_idx, open_ts_us, pending{idx:[...]},
+#  n_turns, n_violations, n_paired, n_unpaired, max_ts_us]
+
+
+def _conv_step(conv_id: str, st: list, arrivals: list, out: list) -> None:
+    """Run the per-conversation FSM over new arrivals (same transitions as
+    _cep_fn — the single-source parity target is the batch operators)."""
+    pending = st[5]
+    for turn_idx, role, tool, has_call, ts_us in arrivals:
+        pending[str(turn_idx)] = (role, tool, has_call, ts_us)
+        if ts_us > st[10]:
+            st[10] = ts_us
+    while str(st[0]) in pending:
+        role, tool, has_call, ts_us = pending.pop(str(st[0]))
+        idx = st[0]
+        ts = pd.Timestamp(ts_us, unit="us")
+        st[6] += 1
+        if st[2] is not None:
+            if role == "tool" and tool == st[2]:
+                out.append((conv_id, "tool_paired", st[3], st[2], ts))
+                st[8] += 1
+            else:
+                out.append(
+                    (conv_id, "tool_unpaired", st[3], st[2],
+                     pd.Timestamp(st[4], unit="us"))
+                )
+                st[9] += 1
+            st[2] = st[3] = st[4] = None
+        if role in ("user", "assistant"):
+            if st[1] == role:
+                out.append((conv_id, "role_violation", idx, role, ts))
+                st[7] += 1
+            st[1] = role
+        if has_call and role == "assistant" and tool:
+            st[2], st[3], st[4] = tool, idx, ts_us
+        st[0] = idx + 1
+
+
+def _conv_close(conv_id: str, st: list, out: list) -> None:
+    if st[2] is not None:
+        out.append(
+            (conv_id, "tool_unpaired", st[3], st[2], pd.Timestamp(st[4], unit="us"))
+        )
+        st[9] += 1
+    out.append(
+        (
+            conv_id,
+            "conv_summary",
+            st[0],
+            json.dumps(
+                {
+                    "n_turns": st[6],
+                    "n_violations": st[7],
+                    "n_paired": st[8],
+                    "n_unpaired": st[9],
+                    "n_pending": len(st[5]),
+                },
+                sort_keys=True,
+            ),
+            pd.Timestamp(st[10], unit="us"),
+        )
+    )
+
+
+def cep_stream_bucketed(
+    turns: DataFrame, close_gap: str = "30 minutes", buckets: int = 1024
+) -> DataFrame:
+    """Scale path: the per-group constant of applyInPandasWithState (~10ms —
+    measured) dominates when every conversation is its own group. Coarsen the
+    state key to hash(conv_id) % buckets and run the per-conversation FSMs
+    inside the bucket state (a JSON dict conv_id → state vector). Conversation
+    close is swept against the current watermark on every invocation plus an
+    event-time timeout for quiet buckets. Output identical to cep_stream
+    (same FSM, same batch-operator parity)."""
+    from pyspark.sql import functions as F
+
+    gap_us = _parse_gap_us(close_gap)
+
+    def fn(key, pdf_iter, state: GroupState):
+        out: list = []
+        if state.hasTimedOut:
+            convs = json.loads(state.get[0])
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            remaining = {}
+            for cid, st in convs.items():
+                if st[10] + gap_us < wm_us:
+                    _conv_close(cid, st, out)
+                else:
+                    remaining[cid] = st
+            if remaining:
+                nxt = min(st[10] for st in remaining.values()) // 1000 + gap_us // 1000
+                state.update((json.dumps(remaining), max(st[10] for st in remaining.values())))
+                state.setTimeoutTimestamp(max(nxt, state.getCurrentWatermarkMs() + 1000))
+            else:
+                state.remove()
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["conv_id", "kind", "turn_idx", "detail", "ts"]
+                )
+            return
+
+        convs = json.loads(state.get[0]) if state.exists else {}
+        bucket_max = state.get[1] if state.exists else 0
+
+        arrivals: dict[str, list] = {}
+        for pdf in pdf_iter:
+            convs_col = pdf["conv_id"].to_numpy()
+            idx_col = pdf["turn_idx"].to_numpy()
+            role_col = pdf["role"].to_numpy()
+            tool_col = pdf["tool"].to_numpy()
+            call_col = pdf["has_call"].to_numpy()
+            ts_col = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            for i in range(len(pdf)):
+                tool = tool_col[i]
+                arrivals.setdefault(convs_col[i], []).append(
+                    (
+                        int(idx_col[i]),
+                        role_col[i],
+                        tool if isinstance(tool, str) else None,
+                        bool(call_col[i]),
+                        int(ts_col[i]),
+                    )
+                )
+
+        for cid, rows in arrivals.items():
+            st = convs.get(cid)
+            if st is None:
+                st = [0, None, None, None, None, {}, 0, 0, 0, 0, 0]
+                convs[cid] = st
+            _conv_step(cid, st, rows, out)
+            if st[10] > bucket_max:
+                bucket_max = st[10]
+
+        # sweep: close conversations the watermark has passed
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        for cid in [c for c, st in convs.items() if st[10] + gap_us < wm_us]:
+            _conv_close(cid, convs.pop(cid), out)
+
+        state.update((json.dumps(convs), bucket_max))
+        if convs:
+            nxt = min(st[10] for st in convs.values()) // 1000 + gap_us // 1000
+        else:
+            nxt = bucket_max // 1000 + gap_us // 1000
+        state.setTimeoutTimestamp(max(nxt, state.getCurrentWatermarkMs() + 1000))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["conv_id", "kind", "turn_idx", "detail", "ts"]
+            )
+
+    return (
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.col("text").contains("<tool_call>").alias("has_call"),
+            "tool",
+            "ts",
+            F.pmod(F.xxhash64("conv_id"), F.lit(buckets)).alias("_bucket"),
+        )
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=BUCKET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def _parse_gap_us(gap: str) -> int:
     n, unit = gap.split()
     mult = {

@@ -126,12 +126,21 @@ def cep_pipeline(
     close_gap: str = "30 minutes",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    bucketed: bool = True,
+    buckets: int = 1024,
 ):
-    """Role-alternation + tool-pairing CEP event stream → sink."""
+    """Role-alternation + tool-pairing CEP event stream → sink. Default uses
+    the bucketed state layout (per-group constant amortized over ~buckets
+    groups instead of one group per conversation — see cep_stream_bucketed)."""
+    from dataflow_mm_spark.streaming.cep import cep_stream_bucketed
+
     turns = read_transcript_stream(
         spark, input_path, max_files_per_trigger, watermark
     )
-    events = cep_stream(turns, close_gap)
+    if bucketed:
+        events = cep_stream_bucketed(turns, close_gap, buckets)
+    else:
+        events = cep_stream(turns, close_gap)
     sink = ExactlyOnceParquetSink(out_dir)
     q = _start(events, sink, checkpoint, available_now)
     return q, sink

@@ -70,10 +70,14 @@ def test_exact_dedup_stream_removes_duplicates(spark, tmp_path):
     assert n == nd > 0
 
 
-def test_cep_stream_matches_batch(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("bucketed", [False, True], ids=["per-conv", "bucketed"])
+def test_cep_stream_matches_batch(spark, tmp_path, bucketed):
     inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
     df = _write_input(spark, inp, n_convs=60)
-    q, sink = jobs.cep_pipeline(spark, inp, out, ckpt)
+    q, sink = jobs.cep_pipeline(spark, inp, out, ckpt, bucketed=bucketed, buckets=32)
     q.awaitTermination(600)
     got = sink.read_committed(spark).filter(F.col("conv_id") != "conv-sentinel")
 
