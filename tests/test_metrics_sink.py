@@ -1,0 +1,51 @@
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from dataflow_mm_spark.datagen import transcripts
+from dataflow_mm_spark.streaming import jobs
+from dataflow_mm_spark.streaming.sink import ExactlyOnceParquetSink, MetricsListener
+
+
+def test_observed_metrics_and_listener(spark, tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    transcripts(spark, n_convs=15, seed=42).coalesce(1).write.parquet(inp)
+
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    listener = MetricsListener(metrics_path).make()
+    spark.streams.addListener(listener)
+    try:
+        q, sink = jobs.turns_pipeline(spark, inp, out, ckpt, dedup=False)
+        q.awaitTermination(300)
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        spark.streams.removeListener(listener)
+
+    obs = [p["observedMetrics"]["quality"] for p in progress
+           if p.get("observedMetrics", {}).get("quality")]
+    assert obs, "observe() metrics missing from progress"
+    total_in = sum(m["turns_in"] for m in obs)
+    total_kept = sum(m["turns_kept"] for m in obs)
+    assert total_in > total_kept > 0
+    assert total_kept == sink.read_committed(spark).count()
+
+    assert os.path.exists(metrics_path)
+    lines = [json.loads(line) for line in open(metrics_path)]
+    assert any(rec["numInputRows"] > 0 for rec in lines)
+
+
+def test_partitioned_sink_layout(spark, tmp_path):
+    df = transcripts(spark, n_convs=10, seed=42)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"), partition_cols=("role",))
+    sink.foreach_batch(df, 0)
+    base = str(tmp_path / "out" / "batch_id=0")
+    subdirs = {d for d in os.listdir(base) if d.startswith("role=")}
+    assert {"role=user", "role=assistant"} <= subdirs
+    back = sink.read_committed(spark)
+    assert back.count() == df.count()
+    # partition pruning works on the committed layout
+    plan = back.filter(F.col("role") == "tool")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(role" in plan
