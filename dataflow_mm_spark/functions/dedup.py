@@ -264,6 +264,28 @@ def minhash_lsh_dedup(
     return df.join(dups, on=id_col, how="left_anti")
 
 
+def joint_neardup_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    max_hamming: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """ImageDiversityFilter composition (D4, image_diversity_filter.py:65-120):
+    a row survives only if it is novel under BOTH detectors — here n-gram
+    Jaccard (content overlap) and SimHash (fuzzy token profile). Keep-first:
+    drop ids appearing as the later element of any pair from either detector."""
+    jac_dups = ngram_jaccard_pairs(df, text_col, id_col, n, jaccard_threshold)
+    sim_dups = simhash_neardup_pairs(df, text_col, id_col, max_hamming)
+    dups = (
+        jac_dups.select(F.col("id_b").alias(id_col))
+        .unionByName(sim_dups.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return df.join(dups, on=id_col, how="left_anti")
+
+
 # --------------------------- MLlib LSH variant -------------------------------
 
 

@@ -96,6 +96,13 @@ def test_minhash_signature_identical_for_normalized_dups(spark, docs):
     assert sigs[0] != sigs[3]
 
 
+def test_joint_neardup_dedup(spark, docs):
+    kept = {r.doc_id for r in D.joint_neardup_dedup(docs, jaccard_threshold=0.5).collect()}
+    # 1 and 5 are (near-)identical to 0 under both detectors; 0 survives
+    assert 0 in kept and 1 not in kept and 5 not in kept
+    assert {3, 4, 6} <= kept
+
+
 def test_mllib_minhash_pairs(spark, docs):
     got = {
         (r.id_a, r.id_b)
