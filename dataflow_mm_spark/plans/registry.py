@@ -89,8 +89,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # sums, not averages: average of an exact-decimal column at a
+            # dyadic group count is a rounding tie where engines diverge
+            F.round(F.sum("l_discount"), 4).alias("sum_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -101,8 +102,7 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(sum(l_discount), 4) AS sum_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -147,18 +147,21 @@ SELECT * FROM j WHERE rank <= 10
 
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # no avg column: an average at a dyadic group count lands EXACTLY on a
+    # 6-decimal rounding tie, where Spark (BigDecimal HALF_UP on the binary
+    # expansion) and DuckDB (float-multiply then round) can diverge by one
+    # ulp — observed at sf0.1. sum+count carry the same information and sums
+    # of 2-decimal inputs round tie-free.
     return (
         ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
             "event_type",
             F.col("w.start").alias("win_start"),
             "n_events",
-            "avg_value",
             "sum_value",
         )
     )
@@ -168,7 +171,6 @@ EVENTS_TUMBLING_SQL = """
 SELECT event_type,
        make_timestamp((CAST(floor(epoch(ts)/3600) AS BIGINT)) * 3600 * 1000000) AS win_start,
        count(*) AS n_events,
-       round(avg(value), 6) AS avg_value,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """
