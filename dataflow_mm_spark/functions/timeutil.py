@@ -1,9 +1,13 @@
 """Event-time helpers.
 
 ``epoch_seconds`` gives fractional epoch seconds for TIMESTAMP and
-TIMESTAMP_NTZ columns alike (Spark 4 forbids a direct NTZ→double cast; an
-NTZ→TIMESTAMP cast interprets the value in the session timezone, which this
-engine pins to UTC — matching DuckDB's naive ``epoch()``).
+TIMESTAMP_NTZ columns alike, computed as a wall-clock NTZ difference from the
+epoch. NOT ``unix_micros(cast(ts as timestamp))``: that interprets the value
+in the session timezone, and in a non-UTC session two events straddling a DST
+transition come out 3600s apart from their wall-clock difference (verified:
+23h instead of 24h in America/Los_Angeles) — silently shifting session-gap
+and CEP-latency decisions. The NTZ diff is timezone-free and matches DuckDB's
+naive ``epoch()`` in any session.
 """
 
 from __future__ import annotations
@@ -11,6 +15,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
 
 def epoch_seconds(c: Column) -> Column:
-    return F.unix_micros(c.cast("timestamp")) / F.lit(1_000_000.0)
+    return (
+        F.timestamp_diff(
+            "MICROSECOND", F.expr(_EPOCH_NTZ), c.cast("timestamp_ntz")
+        )
+        / F.lit(1_000_000.0)
+    )
