@@ -66,14 +66,36 @@ def _raw_lines(col: Column) -> Column:
     return F.filter(F.split(col, "\n"), lambda x: F.trim(x) != F.lit(""))
 
 
-def quality_struct(text: Column) -> Column:
+def quality_struct(
+    text: Column,
+    *,
+    ellipsis_threshold: float = ELLIPSIS_THRESHOLD,
+    mean_word_length_min: float = MEAN_WORD_LEN_MIN,
+    mean_word_length_max: float = MEAN_WORD_LEN_MAX,
+    symbol_word_ratio_threshold: float = SYMBOL_RATIO_THRESHOLD,
+    id_card_threshold: int = ID_CARD_THRESHOLD,
+    no_punc_threshold: int = NO_PUNC_THRESHOLD,
+    curly_bracket_threshold: float = CURLY_THRESHOLD,
+    capital_words_threshold: float = CAPS_THRESHOLD,
+    lorem_ipsum_threshold: float = LOREM_THRESHOLD,
+    unique_words_threshold: float = UNIQUE_THRESHOLD,
+    bulletpoint_threshold: float = BULLET_THRESHOLD,
+    javascript_threshold: int = JS_THRESHOLD,
+    watermarks: tuple[str, ...] | None = None,
+) -> Column:
     """Struct of per-rule violation flags + overall ``pass`` boolean.
+    Thresholds default to the reference's __init__ defaults
+    (rule_base_filter.py:69-100) and are overridable per call, matching the
+    operator's configuration surface.
 
     Perf shape: word-level and line-level statistics are each computed in a
     SINGLE aggregate() pass with a struct accumulator (HOF lambdas are
     interpreted per element — one fused pass beats three separate
     filter/aggregate scans ~3x on the hot path). Semantics identical to the
     reference loop (pytest parity suite is the guard)."""
+    watermark_pattern = (
+        "|".join(watermarks) if watermarks else WATERMARK_PATTERN
+    )
     blank = text.isNull() | (F.trim(text) == F.lit(""))
     # Guard all expressions against blank text to keep semantics total.
     t = F.when(blank, F.lit(" ")).otherwise(text)
@@ -100,13 +122,13 @@ def quality_struct(text: Column) -> Column:
         ),
     )
     mean_len = wstats["nc"].cast("double") / num_words
-    mean_word_len = (mean_len < MEAN_WORD_LEN_MIN) | (mean_len >= MEAN_WORD_LEN_MAX)
-    caps_ratio = wstats["caps"] / num_words > F.lit(CAPS_THRESHOLD)
+    mean_word_len = (mean_len < mean_word_length_min) | (mean_len >= mean_word_length_max)
+    caps_ratio = wstats["caps"] / num_words > F.lit(capital_words_threshold)
     # distinct-count stays a native kernel (an accumulator variant is O(n²))
     unique_ratio = (
         F.size(F.array_distinct(F.transform(words, F.lower))).cast("double")
         / num_words
-        <= F.lit(UNIQUE_THRESHOLD)
+        <= F.lit(unique_words_threshold)
     )
 
     # ---- fused line pass: ellipsis endings + bullet starts ----
@@ -119,18 +141,18 @@ def quality_struct(text: Column) -> Column:
         ),
     )
     ellipsis_ratio = (num_lines > 0) & (
-        lstats["ell"] / num_lines >= F.lit(ELLIPSIS_THRESHOLD)
+        lstats["ell"] / num_lines >= F.lit(ellipsis_threshold)
     )
     bullet_ratio = (num_lines > 0) & (
-        lstats["bul"] / num_lines > F.lit(BULLET_THRESHOLD)
+        lstats["bul"] / num_lines > F.lit(bulletpoint_threshold)
     )
 
     num_symbols = _count(t, "#") + _count(t, "...") + _count(t, "…")
-    symbol_ratio = num_symbols / num_words >= F.lit(SYMBOL_RATIO_THRESHOLD)
+    symbol_ratio = num_symbols / num_words >= F.lit(symbol_word_ratio_threshold)
 
     html_entity = t.rlike(HTML_ENTITY_PATTERN)
 
-    idcard = F.regexp_count(t, F.lit(ID_PATTERN)) >= ID_CARD_THRESHOLD
+    idcard = F.regexp_count(t, F.lit(ID_PATTERN)) >= id_card_threshold
 
     # max words over sentences of paragraphs (rule 7)
     sentences = F.flatten(
@@ -146,18 +168,18 @@ def quality_struct(text: Column) -> Column:
             ),
         ),
     )
-    no_punc_span = max_sentence_words > NO_PUNC_THRESHOLD
+    no_punc_span = max_sentence_words > no_punc_threshold
 
     special_char = t.rlike(SPECIAL_CHAR_PATTERN)
-    watermark = t.rlike(WATERMARK_PATTERN)
+    watermark = t.rlike(watermark_pattern)
 
     curly_ratio = (_count(t, "{") + _count(t, "}")) / F.length(t) >= F.lit(
-        CURLY_THRESHOLD
+        curly_bracket_threshold
     )
 
     lorem_ipsum = (
         F.regexp_count(F.lower(t), F.lit("lorem ipsum")) / F.length(t)
-        > F.lit(LOREM_THRESHOLD)
+        > F.lit(lorem_ipsum_threshold)
     )
 
     # ---- fused normalized-line pass (rule 15) ----
@@ -184,7 +206,7 @@ def quality_struct(text: Column) -> Column:
     )
     n_norm, js_cnt = nstats["n"], nstats["js"]
     javascript = (n_norm > 0) & ~(
-        (n_norm <= 3) | ((n_norm - js_cnt) >= JS_THRESHOLD)
+        (n_norm <= 3) | ((n_norm - js_cnt) >= javascript_threshold)
     )
 
     flags = {

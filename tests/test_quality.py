@@ -58,6 +58,26 @@ def test_spark_matches_oracle_on_transcripts(spark, tiny_transcripts, tiny_pdf):
     assert 0 < len(got) < len(tiny_pdf)
 
 
+def test_custom_thresholds(spark):
+    import pandas as pd
+
+    from dataflow_mm_spark.functions.quality import quality_struct
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["SHOUTY text here with several lowercase words now"]})
+    )
+    default = df.select(quality_struct(F.col("text"))["pass"].alias("p")).first().p
+    strict = df.select(
+        quality_struct(F.col("text"), capital_words_threshold=0.1)["pass"].alias("p")
+    ).first().p
+    assert default is True and strict is False
+
+    wm = df.select(
+        quality_struct(F.col("text"), watermarks=("SHOUTY",))["pass"].alias("p")
+    ).first().p
+    assert wm is False
+
+
 def test_quality_plan_is_codegen(spark, tiny_transcripts):
     """The scorer must stay JVM-side: no Python UDF nodes in the plan."""
     plan = rule_base_filter(tiny_transcripts)._jdf.queryExecution().executedPlan().toString()
