@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     p = argparse.ArgumentParser(description="dataflow-mm-spark streaming jobs")
-    p.add_argument("--job", choices=["turns", "windows", "cep", "sessions"],
+    p.add_argument("--job", choices=["turns", "windows", "cep", "sessions", "neardup", "context"],
                    required=True)
     p.add_argument("--input", required=True, help="parquet dir / table path")
     p.add_argument("--output", required=True, help="sink dir")
@@ -77,6 +77,14 @@ def main() -> None:
             close_gap=args.gap,
             max_files_per_trigger=args.max_files_per_trigger,
             **common,
+        )
+    elif args.job == "neardup":
+        q, _ = jobs.neardup_pipeline(**common)
+    elif args.job == "context":
+        q, _ = jobs.context_pipeline(
+            spark=spark, input_path=args.input, out_dir=args.output,
+            checkpoint=args.checkpoint, watermark=args.watermark,
+            available_now=not args.continuous,
         )
     else:
         q, _ = jobs.sessionized_pipeline(gap=args.gap, **common)

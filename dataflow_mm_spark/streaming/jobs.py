@@ -179,6 +179,28 @@ def context_pipeline(
     return q, sink
 
 
+def neardup_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+    **neardup_kw,
+):
+    """Streaming MinHash near-duplicate candidate detection → sink. The
+    candidate event log is resolved to a keep-first dedup decision by
+    streaming.dedup.resolve_keep_first (batch, or inside a downstream
+    foreachBatch)."""
+    from dataflow_mm_spark.streaming.dedup import neardup_candidates_stream
+
+    turns = read_transcript_stream(spark, input_path, None, watermark)
+    cands = neardup_candidates_stream(turns, **neardup_kw)
+    sink = ExactlyOnceParquetSink(out_dir)
+    q = _start(cands, sink, checkpoint, available_now)
+    return q, sink
+
+
 def sessionized_pipeline(
     spark: SparkSession,
     input_path: str,
