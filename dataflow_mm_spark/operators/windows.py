@@ -26,20 +26,19 @@ def tumbling_agg(
     size: str = "5 minutes",
     keys: tuple[str, ...] = ("conv_id",),
     ts_col: str = "ts",
-    aggs: dict[str, str] | None = None,
+    extra_aggs: list | None = None,
 ) -> DataFrame:
-    """groupBy(keys, tumbling window).agg(...). Default: turn count +
-    distinct-role count. Window bounds surfaced as win_start/win_end."""
-    aggs = aggs or {"*": "count"}
-    exprs = [
-        F.count("*").alias("n_turns"),
-    ]
+    """groupBy(keys, tumbling window).agg(count + extra agg Columns).
+    Window bounds surfaced as win_start/win_end."""
+    exprs = [F.count("*").alias("n_turns"), *(extra_aggs or [])]
     g = df.groupBy(*keys, F.window(ts_col, size).alias("w"))
-    return g.agg(*exprs).select(
+    agged = g.agg(*exprs)
+    rest = [c for c in agged.columns if c != "w" and c not in keys]
+    return agged.select(
         *keys,
         F.col("w.start").alias("win_start"),
         F.col("w.end").alias("win_end"),
-        "n_turns",
+        *rest,
     )
 
 
