@@ -27,10 +27,14 @@ PUNCS_PATTERN = r'[，。！？；：、“”‘’【】《》（）,.!?;:"\'\
 
 
 def normalize_text(text: Column) -> Column:
-    """Strip ASCII punctuation, lowercase, trim + collapse whitespace
-    (reference ``normalize`` minus NFD — exact for ASCII corpora)."""
+    """Strip ASCII punctuation, lowercase, strip + collapse whitespace
+    (reference ``normalize`` minus NFD — exact for ASCII corpora).
+    Strip is regex-anchored: Spark trim() removes only spaces, not \\n/\\t
+    (python str.strip() removes all whitespace)."""
     t = F.lower(F.translate(text, PUNCTUATION, ""))
-    return F.regexp_replace(F.trim(t), r"\s+", " ")
+    return F.regexp_replace(
+        F.regexp_replace(t, r"^\s+|\s+$", ""), r"\s+", " "
+    )
 
 
 def strip_puncs(text: Column) -> Column:

@@ -56,8 +56,10 @@ def _count(col: Column, token: str) -> Column:
 
 
 def _words(col: Column) -> Column:
-    """python str.split() on non-blank text: split trimmed text on \\s+."""
-    return F.split(F.trim(col), r"\s+")
+    """python str.split(): split on \\s+ and drop empty tokens. NOT
+    split(trim(x)) — Spark/DuckDB trim() strips only spaces, so trailing
+    '\\n' or '\\t' yields a phantom empty token (hypothesis-found)."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != F.lit(""))
 
 
 def _raw_lines(col: Column) -> Column:
@@ -96,9 +98,13 @@ def quality_struct(
     watermark_pattern = (
         "|".join(watermarks) if watermarks else WATERMARK_PATTERN
     )
-    blank = text.isNull() | (F.trim(text) == F.lit(""))
-    # Guard all expressions against blank text to keep semantics total.
-    t = F.when(blank, F.lit(" ")).otherwise(text)
+    # blank = python `not text.strip()`: no non-whitespace char anywhere
+    # (trim() only strips spaces — '\n' must count as blank)
+    blank = text.isNull() | ~text.rlike(r"\S")
+    # Guard all expressions against blank text to keep semantics total;
+    # the placeholder must contain a token — num_words=0 would divide by
+    # zero under ANSI. Non-blank text guarantees ≥1 word and ≥1 line.
+    t = F.when(blank, F.lit("x")).otherwise(text)
 
     words = _words(t)
     num_words = F.size(words)
@@ -162,10 +168,7 @@ def quality_struct(
         sentences,
         F.lit(0),
         lambda m, s: F.greatest(
-            m,
-            F.when(F.trim(s) == "", F.lit(0)).otherwise(
-                F.size(F.split(F.trim(s), r"\s+"))
-            ),
+            m, F.size(F.regexp_extract_all(s, F.lit(r"\S+"), F.lit(0)))
         ),
     )
     no_punc_span = max_sentence_words > no_punc_threshold

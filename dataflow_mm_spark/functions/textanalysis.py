@@ -25,11 +25,13 @@ TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def words(text: Column) -> Column:
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    """python-split semantics: \\s+ tokens, empties dropped (trim() strips
+    only spaces — trailing newlines/tabs would leave phantom tokens)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
 
 
 def word_count(text: Column) -> Column:
-    return F.when(F.trim(text) == "", 0).otherwise(F.size(words(text)))
+    return F.size(words(text))
 
 
 def token_count(text: Column) -> Column:
