@@ -31,3 +31,72 @@ def test_quality_property_parity(spark, corpus):
     }
     want = {i: passes_quality(t) for i, t in zip(pdf.id, pdf.text)}
     assert got == want
+
+
+_ans_alphabet = st.sampled_from(
+    list("ab \n<>") + ["<answer>", "</answer>", "  "]
+)
+ans_texts = st.lists(_ans_alphabet, min_size=0, max_size=20).map("".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(ans_texts, min_size=1, max_size=30))
+def test_extract_answer_property_parity(spark, corpus):
+    import re
+
+    from dataflow_mm_spark.functions.extraction import extract_answer
+
+    pdf = pd.DataFrame({"id": range(len(corpus)), "text": corpus})
+    got = {
+        r.id: r.a
+        for r in spark.createDataFrame(pdf)
+        .select("id", extract_answer(F.col("text")).alias("a"))
+        .collect()
+    }
+    rx = re.compile(r"<answer>\s*(.*?)\s*</answer>", re.DOTALL)
+
+    def oracle(t):
+        m = rx.search(t)
+        return m.group(1).strip() if m else ""
+
+    want = {i: oracle(t) for i, t in zip(pdf.id, pdf.text)}
+    assert got == want
+
+
+_shingle_alphabet = st.sampled_from(list("abc de.,!f\n\t") + ["  ", "…"])
+shingle_texts = st.lists(_shingle_alphabet, min_size=0, max_size=30).map("".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(shingle_texts, min_size=1, max_size=20))
+def test_shingles_property_parity(spark, corpus):
+    import re
+    import string
+
+    from dataflow_mm_spark.functions.dedup import norm_words, shingles_of_words
+
+    pdf = pd.DataFrame({"id": range(len(corpus)), "text": corpus})
+    got = {
+        r.id: list(r.sh)
+        for r in spark.createDataFrame(pdf)
+        .select("id", norm_words(F.col("text")).alias("_w"))
+        .select("id", shingles_of_words(F.col("_w"), 2).alias("sh"))
+        .collect()
+    }
+
+    def oracle(t):
+        n = t.translate(str.maketrans("", "", string.punctuation)).lower()
+        n = re.sub(r"\s+", " ", re.sub(r"^\s+|\s+$", "", n))
+        w = n.split(" ")
+        if len(w) < 2:
+            return [" ".join(w)]
+        out, seen = [], set()
+        for i in range(len(w) - 1):
+            g = f"{w[i]} {w[i+1]}"
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    want = {i: oracle(t) for i, t in zip(pdf.id, pdf.text)}
+    assert got == want
