@@ -25,9 +25,9 @@ TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def words(text: Column) -> Column:
-    """python-split semantics: \\s+ tokens, empties dropped (trim() strips
-    only spaces — trailing newlines/tabs would leave phantom tokens)."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+    """python-split semantics in one regex pass: \\S+ runs of the lowered
+    text (trim() strips only spaces — phantom empty tokens otherwise)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(r"\S+"), F.lit(0))
 
 
 def word_count(text: Column) -> Column:

@@ -346,7 +346,7 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOCS_QUALITY_SQL = r"""
 WITH base AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
+         regexp_extract_all(text, '\S+', 0) AS words,
          list_filter(str_split(text, chr(10)), x -> trim(x) <> '') AS lines
   FROM documents
   WHERE text IS NOT NULL AND regexp_matches(text, '\S')
@@ -369,14 +369,14 @@ WHERE NOT (
   OR len(regexp_extract_all(text, '(?i)(身\s{0,10}份|id\s{0,10}number\s{0,10}|identification|identity|\s{0,10}ID\s{0,10}No\s{0,10}|id\s{0,10}card\s{0,10}|NRIC\s{0,10}number\s{0,10}|IC\s{0,10}number\s{0,10}|resident\s{0,10}registration\s{0,10}|I.D.\s{0,10}Number\s{0,10})', 0)) >= 3
   OR list_max(list_transform(str_split(text, chr(10)),
         p -> list_max(list_transform(str_split_regex(p, '[–.!?,;•/|…]'),
-          s -> len(list_filter(regexp_split_to_array(s, '\s+'), x -> x <> '')))))) > 112
+          s -> len(regexp_extract_all(s, '\S+', 0)))))) > 112
   OR regexp_matches(text, 'u200e|&#247;|\? :|[�□]|\{\/U\}|U\+26[0-F][0-D]|U\+273[3-4]|U\+1F[3-6][0-4][0-F]|U\+1F6[8-F][0-F]')
   OR regexp_matches(text, 'Copyright|Watermark|Confidential')
   OR ((length(text) - length(replace(text, '{', '')))
       + (length(text) - length(replace(text, '}', '')))) * 1.0 / length(text) >= 0.025
   OR CAST(len(list_filter(words, w -> w = upper(w) AND upper(w) <> lower(w))) AS DOUBLE) / nw > 0.2
   OR CAST(len(regexp_extract_all(lower(text), 'lorem ipsum', 0)) AS DOUBLE) / length(text) > 3e-8
-  OR CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))) AS DOUBLE) / nw <= 0.1
+  OR CAST(len(list_distinct(regexp_extract_all(lower(text), '\S+', 0))) AS DOUBLE) / nw <= 0.1
   OR (nl > 0 AND CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[•‣▶◀◦■□▪▫–]'))) AS DOUBLE) / nl > 0.9)
   OR (len(list_filter(list_transform(str_split(text, chr(10)),
          x -> lower(translate(x, """ + _PUNCT_SQL + r""", ''))), x -> trim(x) <> '')) > 0
@@ -547,7 +547,7 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOCS_LANG_SQL = f"""
 WITH w AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+', 0) AS ws FROM documents
 )
 SELECT doc_id,
        CASE WHEN CAST(len(list_filter(ws, x -> list_contains({_EN_STOP_SQL}, x))) AS DOUBLE)
@@ -568,7 +568,7 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOCS_TOKEN_SQL = r"""
 SELECT doc_id,
-       len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_words,
+       len(regexp_extract_all(lower(text), '\S+', 0)) AS n_words,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_tokens
 FROM documents
 """
@@ -581,7 +581,7 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOCS_SCORE_SQL = f"""
 WITH w AS (
-  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\\S+', 0) AS ws
   FROM documents
 )
 SELECT doc_id,
