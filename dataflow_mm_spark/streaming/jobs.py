@@ -63,10 +63,12 @@ def turns_pipeline(
     turns = read_transcript_stream(
         spark, input_path, max_files_per_trigger, watermark
     )
+    # dedup FIRST, on the narrow raw turns: the stateful shuffle then carries
+    # 6 columns, not the enriched width (quality struct + arrays) — measured
+    # 2x wall difference; enrichment runs post-shuffle on unique rows only
+    if dedup:
+        turns = exact_dedup_stream(turns)
     enriched = enrich_turns(turns)
-    # enrich/filter BEFORE dedup: replayed duplicates are byte-identical so
-    # the kept set is unchanged, and the dedup state only holds rows that
-    # survive the quality filter (~27% smaller state at datagen defect rates)
     # per-batch observability: input/kept counts land in StreamingQueryProgress
     # .observedMetrics (and the MetricsListener jsonl)
     enriched = enriched.observe(
@@ -75,8 +77,6 @@ def turns_pipeline(
         F.sum(F.when(F.col("quality.pass"), 1).otherwise(0)).alias("turns_kept"),
     )
     filtered = enriched.filter(F.col("quality.pass"))
-    if dedup:
-        filtered = exact_dedup_stream(filtered)
     sink = ExactlyOnceParquetSink(out_dir)
     q = _start(filtered, sink, checkpoint, available_now)
     return q, sink
