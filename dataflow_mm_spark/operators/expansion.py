@@ -16,7 +16,7 @@ Reference analogues (SURVEY.md §2.7):
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+
 
 import pandas as pd
 from pyspark.sql import DataFrame

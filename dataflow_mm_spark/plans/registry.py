@@ -21,7 +21,6 @@ from dataflow_mm_spark.functions import dedup as D
 from dataflow_mm_spark.functions import quality as Q
 from dataflow_mm_spark.functions import similarity as S
 from dataflow_mm_spark.functions import textanalysis as TA
-from dataflow_mm_spark.functions.normalize import normalize_text
 from dataflow_mm_spark.operators import cep as CEP
 from dataflow_mm_spark.operators import windows as W
 
