@@ -79,12 +79,26 @@ def cosine_topk(
     )
 
 
-def _broadcast_matrix(df: DataFrame, id_col: str, vec_col: str):
+BROADCAST_MATRIX_MAX_ROWS = 200_000
+
+
+def _broadcast_matrix(
+    df: DataFrame, id_col: str, vec_col: str, max_rows: int = BROADCAST_MATRIX_MAX_ROWS
+):
     """Collect + broadcast the full embedding matrix. Right for dimension
     tables up to ~10^5 x ~10^3 (a few hundred MB); beyond that the scale
-    path is ann_lsh_topk / bucketed block joins — never a driver collect."""
+    path is ann_lsh_topk / ann_ivf_topk — never a driver collect. The bound
+    is ENFORCED: a 100TB caller gets this error, not a driver OOM."""
     import numpy as np
 
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"brute-force cosine path collects {n} vectors to the driver "
+            f"(bound: {max_rows}). This is the small-matrix baseline only — "
+            f"use ann_lsh_topk / ann_ivf_topk for large inputs, or raise "
+            f"max_rows explicitly if you know the matrix fits."
+        )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     m = np.array([list(r[1]) for r in rows], dtype=np.float64)
@@ -98,12 +112,13 @@ def cosine_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = BROADCAST_MATRIX_MAX_ROWS,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (id_a < id_b). Block-parallel brute
     force: each Arrow batch matmuls against the broadcast matrix (float64,
     numerically equal to the sequential-loop oracle at 6dp — verified over
     2M pairs vs DuckDB). O(n²) total work — the scale path is LSH."""
-    b_ids, b_m = _broadcast_matrix(df, id_col, vec_col)
+    b_ids, b_m = _broadcast_matrix(df, id_col, vec_col, max_rows=max_rows)
 
     def gen(it):
         bm = b_m.value
@@ -134,10 +149,11 @@ def knn_avg_sim(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "knn_sim",
+    max_rows: int = BROADCAST_MATRIX_MAX_ROWS,
 ) -> DataFrame:
     """Per-row mean cosine of k nearest neighbors (rank on rounded sim desc,
     neighbor id asc — matching the SQL oracle's row_number ordering)."""
-    b_ids, b_m = _broadcast_matrix(df, id_col, vec_col)
+    b_ids, b_m = _broadcast_matrix(df, id_col, vec_col, max_rows=max_rows)
 
     def gen(it):
         bm = b_m.value
@@ -307,33 +323,23 @@ def knn_avg_similarity(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_ratio: float = 0.5,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """KNNSimilarityFilter semantics: per-row mean cosine of the k nearest
-    neighbors; keep the lowest-``keep_ratio`` fraction (most unique rows).
-    Exact percentile via percent_rank (test scale) — reference uses
-    np.percentile (knn_similarity_filter.py:194-196)."""
-    v = df.select(
-        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_n", norm(F.col("_v")))
-    a, b = v.alias("a"), v.alias("b")
-    sims = (
-        a.join(b, F.col("a._id") != F.col("b._id"))
-        .withColumn(
-            "sim",
-            dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")),
-        )
-    )
-    w = Window.partitionBy("a._id").orderBy(F.col("sim").desc())
-    knn = (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .groupBy(F.col("a._id").alias(id_col))
-        .agg(F.avg("sim").alias("knn_similarity_score"))
-    )
-    pw = Window.orderBy(F.col("knn_similarity_score").asc())
-    ranked = knn.withColumn("_pr", F.percent_rank().over(pw))
-    return (
-        df.join(ranked, id_col)
-        .filter(F.col("_pr") <= keep_ratio)
-        .drop("_pr")
-    )
+    neighbors; keep the lowest-``keep_ratio`` fraction (most unique rows) —
+    reference uses np.percentile (knn_similarity_filter.py:194-196).
+
+    The knn stage rides ``knn_avg_sim`` (broadcast-matmul per Arrow batch —
+    no O(n²) non-equi self-join, no cartesian shuffle) and the percentile cut
+    is ``percentile_approx`` (one aggregate pass — no global window sort).
+    Beyond the broadcast bound, swap the knn stage for ann_lsh_topk."""
+    knn = knn_avg_sim(df, k=k, id_col=id_col, vec_col=vec_col,
+                      out_col="knn_similarity_score")
+    thr = knn.agg(
+        F.percentile_approx(
+            "knn_similarity_score", F.lit(keep_ratio), F.lit(accuracy)
+        ).alias("t")
+    ).first().t
+    if thr is None:
+        return df.join(knn, id_col)
+    return df.join(knn, id_col).filter(F.col("knn_similarity_score") <= thr)

@@ -40,14 +40,21 @@ def token_count(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
+    # blank/null guard: ratios must be total (entry_query enriches before any
+    # filter; 0/0 under ANSI would throw, and NaN would diverge from DuckDB)
     ws = words(text)
-    return F.size(F.filter(ws, lambda w: w.isin(EN_STOPWORDS))) / F.size(ws)
+    return F.when(
+        F.size(ws) > 0,
+        F.size(F.filter(ws, lambda w: w.isin(EN_STOPWORDS))) / F.size(ws),
+    ).otherwise(0.0)
 
 
 def punct_ratio(text: Column) -> Column:
-    return (
-        F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    ) / F.length(text)
+    return F.when(
+        F.length(text) > 0,
+        (F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", "")))
+        / F.length(text),
+    ).otherwise(0.0)
 
 
 def lang_guess(text: Column, threshold: float = 0.08) -> Column:
@@ -65,7 +72,9 @@ def quality_score(text: Column) -> Column:
     punct_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.0)
     stop_ok = F.when(stopword_ratio(text) >= 0.02, 1.0).otherwise(0.0)
     ws = words(text)
-    diversity = F.size(F.array_distinct(ws)) / F.size(ws)
+    diversity = F.when(
+        F.size(ws) > 0, F.size(F.array_distinct(ws)) / F.size(ws)
+    ).otherwise(0.0)
     div_ok = F.when(diversity >= 0.3, 1.0).otherwise(0.0)
     return F.round((len_ok + punct_ok + stop_ok + div_ok) / 4.0, 6)
 

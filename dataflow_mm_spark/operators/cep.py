@@ -57,13 +57,18 @@ def tool_pairing(df: DataFrame, max_latency_sec: int | None = None) -> DataFrame
         & F.col("tool").isNotNull()
         & (F.col("role") == "assistant")
     )
-    paired = (F.col("next_role") == "tool") & (F.col("next_tool") == F.col("tool"))
+    # coalesce: a call with NO next turn is unpaired=false, not null (matches
+    # the streaming FSM's tool_unpaired emission)
+    paired = F.coalesce(
+        (F.col("next_role") == "tool") & (F.col("next_tool") == F.col("tool")),
+        F.lit(False),
+    )
     out = calls.select(
         "conv_id",
         "turn_idx",
         "tool",
         paired.alias("paired"),
-        F.when(paired, F.col("next_turn_idx")).alias("result_turn_idx"),
+        F.when(paired, F.col("next_turn_idx")).cast("double").alias("result_turn_idx"),
         F.when(
             paired,
             F.round(epoch_seconds(F.col("next_ts")) - epoch_seconds(F.col("ts")), 6),

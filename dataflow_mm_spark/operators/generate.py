@@ -98,9 +98,13 @@ def batch_list_generator(
     """G6 BatchVQAGenerator: one row holds N prompts → N answers, order
     preserved: posexplode → generator → re-collect_list by ordinal."""
     key = "_blg_id"
-    # ids must be stable across the two uses of `keyed` in the self-join:
-    # same input partitioning → same monotonically_increasing_id assignment
-    keyed = df.withColumn(key, F.monotonically_increasing_id())
+    # monotonically_increasing_id is NON-deterministic (partition-dependent):
+    # the two consumers of `keyed` (explode branch + final join) must observe
+    # ONE materialized assignment, not recompute it independently — an AQE
+    # re-plan or upstream shuffle would silently attach answers to the wrong
+    # rows. cache() is the repo-wide rule for any subplan feeding a self-join.
+    # (A content hash is no substitute: duplicate rows must keep distinct keys.)
+    keyed = df.withColumn(key, F.monotonically_increasing_id()).cache()
     exploded = keyed.select(key, F.posexplode(prompts_col).alias("_pos", "_prompt"))
     answered = prompted_generator(
         exploded, serving_factory, prompt_col="_prompt", output_col="_ans", **kw

@@ -1,12 +1,18 @@
 """Sorts / limits / top-k / percentile cuts (SURVEY.md §2.10).
 
 * ``keep_top_ratio`` — CLIPScoreFilter/KNNSimilarityFilter keep-ratio
-  percentile cut (clipscore_filter.py:192-199): exact percentile via
-  percent_rank (matches np.percentile-style cuts at test scale; at warehouse
-  scale swap the window for ``percentile_approx`` — one pass, no global sort);
+  percentile cut (clipscore_filter.py:192-199). DEFAULT is the scale path:
+  a ``percentile_approx`` threshold computed in one pass (partial aggregate,
+  no global sort). ``exact=True`` opts into the percent_rank cut, which is a
+  single-task global sort — small-N / test-parity use only;
 * ``top_k`` — DataTailorFilter argsort selection (datatailor_filter.py:363-372);
 * ``seeded_sample_cap`` — MCTSTreeRefiner's seeded 10k sample cap
-  (mcts_tree_refiner.py:96-97): rand(seed)-ordered row_number;
+  (mcts_tree_refiner.py:96-97): rows ordered by a CONTENT hash (xxhash64 of
+  all columns + seed), then ``limit(cap)``. Content hashing makes the sample
+  independent of physical partitioning (``rand(seed)`` is per-partition
+  seeded — a repartition would change the sample), and sort+limit compiles to
+  TakeOrderedAndProject: per-partition top-cap, merged on the driver — no
+  single-task global sort;
 * ``order_nulls_last`` — VideoInfoFilter's num_frames sort with None last
   (video_info_filter.py:338-343).
 """
@@ -22,16 +28,28 @@ def keep_top_ratio(
     score_col: str,
     keep_ratio: float = 0.8,
     ascending: bool = False,
-    approx: bool = False,
+    exact: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
-    """Keep the best ``keep_ratio`` fraction by score. ``approx=True`` uses a
-    percentile_approx threshold (single pass, scale path); default is the
-    exact percent_rank cut."""
-    if approx:
+    """Keep the best ``keep_ratio`` fraction by score.
+
+    Default path: ``percentile_approx`` threshold + filter — one shuffle-free
+    aggregate pass then a pushed-down predicate; survives any scale. The
+    threshold row itself is kept inclusively, so the kept fraction can exceed
+    keep_ratio by the tie mass at the boundary (np.percentile-style cuts have
+    the same property).
+
+    ``exact=True``: percent_rank over a GLOBAL sort — one task sorts the
+    universe. Only for small inputs where reproducing the reference's exact
+    rank cut matters (tests, ≤10^6-row dims).
+    """
+    if not exact:
         q = keep_ratio if ascending else 1.0 - keep_ratio
         thr = df.agg(
-            F.percentile_approx(score_col, F.lit(q), F.lit(10000)).alias("t")
+            F.percentile_approx(score_col, F.lit(q), F.lit(accuracy)).alias("t")
         ).first().t
+        if thr is None:  # empty input
+            return df
         cond = F.col(score_col) <= thr if ascending else F.col(score_col) >= thr
         return df.filter(cond)
     order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
@@ -54,7 +72,11 @@ def top_k(
     order = [F.col(score_col).asc() if ascending else F.col(score_col).desc()]
     if tiebreak:
         order.append(F.col(tiebreak).asc())
-    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(*order)
+    if not keys:
+        # global top-k: sort+limit → TakeOrderedAndProject (per-partition
+        # heads merged on the driver), NOT a one-task window sort
+        return df.orderBy(*order).limit(k)
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
@@ -63,12 +85,12 @@ def top_k(
 
 
 def seeded_sample_cap(df: DataFrame, cap: int, seed: int = 42) -> DataFrame:
-    """Deterministic pseudo-random cap: order by rand(seed), keep first
-    ``cap``. Same seed + same input → same rows."""
-    w = Window.orderBy(F.rand(seed), F.monotonically_increasing_id())
-    return df.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= cap
-    ).drop("_rn")
+    """Deterministic pseudo-random cap: order by a content hash (all columns
+    + seed), keep first ``cap``. Same seed + same input rows → same sample,
+    regardless of partitioning or arrival order; plan is TakeOrderedAndProject
+    (scale-safe — no global single-task sort)."""
+    h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    return df.orderBy(h.asc()).limit(cap)
 
 
 def order_nulls_last(df: DataFrame, col: str, ascending: bool = True) -> DataFrame:

@@ -82,10 +82,10 @@ def session_agg_batch(
 ) -> DataFrame:
     """Gaps-and-islands session assignment (batch): a new session starts when
     the gap from the previous event in the key exceeds ``gap_seconds``.
-    Emits one row per session: start ts, count, duration. Matches the
-    event-set grouping of ``session_window`` (session end differs: native
-    session_window end = last_ts + gap; here we emit last event ts so the
-    DuckDB oracle is trivially expressible — both are reported)."""
+    Emits one row per session with BOTH end definitions, so stream and batch
+    hash identically on their shared columns: ``sess_end`` = last_ts + gap
+    (the native ``session_window`` end emitted by session_agg) and
+    ``sess_last`` = last event ts (with ``duration_sec`` = last - first)."""
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
     prev = F.lag(ts_col).over(w)
     # fractional epoch seconds (cast, not unix_timestamp, which truncates
@@ -106,6 +106,11 @@ def session_agg_batch(
             F.min(ts_col).alias("sess_start"),
             F.max(ts_col).alias("sess_last"),
             F.count("*").alias("n_turns"),
+        )
+        .drop("sess_id")  # internal gaps-and-islands counter, not output
+        .withColumn(
+            "sess_end",
+            F.col("sess_last") + F.make_interval(secs=F.lit(gap_seconds)),
         )
         .withColumn(
             "duration_sec",

@@ -317,19 +317,29 @@ def transcript_messages_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRANSCRIPT_MESSAGES_SQL = f"""
 WITH t AS ({_TURNS_SQL}),
-body AS (
-  SELECT conv_id, turn_idx + 1 AS seq, role,
+body0 AS (
+  SELECT conv_id, turn_idx, role,
          trim(regexp_replace(
            trim(replace(replace(replace(text, '<image>', ''), '<video>', ''), '<audio>', '')),
            '\\n+', chr(10), 'g')) AS content
   FROM t
 ),
+-- mirror the Spark semantics exactly (assemble_messages + posexplode):
+-- renumber CONSECUTIVELY after dropping empty-cleaned turns, and emit the
+-- system row only for conversations that still have body rows (a conv whose
+-- every turn cleans to '' disappears entirely)
+body AS (
+  SELECT conv_id,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS seq,
+         role, content
+  FROM body0 WHERE content <> ''
+),
 sys AS (
   SELECT DISTINCT conv_id, 0 AS seq, 'system' AS role,
          'You are a helpful assistant.' AS content
-  FROM t
+  FROM body
 )
-SELECT * FROM sys UNION ALL SELECT * FROM body WHERE content <> ''
+SELECT * FROM sys UNION ALL SELECT * FROM body
 """
 
 # ---------------------------------------------------------------------------
@@ -342,12 +352,17 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.rule_base_filter(docs).select("doc_id")
 
 
-DOCS_QUALITY_SQL = r"""
+def _quality_sql(from_sql: str, id_cols: str) -> str:
+    """15-rule RuleBaseFilter oracle, parameterized over the input relation
+    (so the same rule body checks documents, mutated documents, and the
+    synthetic transcript turns)."""
+    return (
+        r"""
 WITH base AS (
-  SELECT doc_id, text,
+  SELECT """ + id_cols + r""", text,
          regexp_extract_all(text, '\S+', 0) AS words,
          list_filter(str_split(text, chr(10)), x -> trim(x) <> '') AS lines
-  FROM documents
+  FROM """ + from_sql + r"""
   WHERE text IS NOT NULL AND regexp_matches(text, '\S')
 ), m AS (
   SELECT *,
@@ -356,7 +371,7 @@ WITH base AS (
     len(lines) AS nl
   FROM base
 )
-SELECT doc_id FROM m
+SELECT """ + id_cols + r""" FROM m
 WHERE NOT (
      text LIKE '%:'
   OR (nl > 0 AND CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / nl >= 0.3)
@@ -389,6 +404,10 @@ WHERE NOT (
                x -> contains(x, 'javascript'))) >= 3))
 )
 """
+    )
+
+
+DOCS_QUALITY_SQL = _quality_sql("documents", "doc_id")
 
 
 # deterministic defect injection so the quality filter has true positives to
@@ -414,10 +433,8 @@ def docs_quality_filter_mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.rule_base_filter(docs).select("doc_id")
 
 
-DOCS_QUALITY_MUT_SQL = DOCS_QUALITY_SQL.replace(
-    "FROM documents",
-    f"FROM (SELECT doc_id, {_MUTATE_SQL} AS text FROM documents)",
-    1,
+DOCS_QUALITY_MUT_SQL = _quality_sql(
+    f"(SELECT doc_id, {_MUTATE_SQL} AS text FROM documents)", "doc_id"
 )
 
 
@@ -549,7 +566,8 @@ WITH w AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\\S+', 0) AS ws FROM documents
 )
 SELECT doc_id,
-       CASE WHEN CAST(len(list_filter(ws, x -> list_contains({_EN_STOP_SQL}, x))) AS DOUBLE)
+       CASE WHEN len(ws) > 0
+             AND CAST(len(list_filter(ws, x -> list_contains({_EN_STOP_SQL}, x))) AS DOUBLE)
                  / len(ws) >= 0.08
             THEN 'en' ELSE 'other' END AS lang_guess
 FROM w
@@ -586,11 +604,14 @@ WITH w AS (
 SELECT doc_id,
   round((
     (CASE WHEN length(text) BETWEEN 64 AND 20000 THEN 1.0 ELSE 0.0 END)
-    + (CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
-                 / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END)
-    + (CASE WHEN CAST(len(list_filter(ws, x -> list_contains({_EN_STOP_SQL}, x))) AS DOUBLE)
+    + (CASE WHEN coalesce(length(text), 0) = 0
+             OR (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN len(ws) > 0
+             AND CAST(len(list_filter(ws, x -> list_contains({_EN_STOP_SQL}, x))) AS DOUBLE)
                  / len(ws) >= 0.02 THEN 1.0 ELSE 0.0 END)
-    + (CASE WHEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.3
+    + (CASE WHEN len(ws) > 0
+             AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.3
             THEN 1.0 ELSE 0.0 END)
   ) / 4.0, 6) AS score
 FROM w
@@ -666,35 +687,105 @@ SELECT ida AS vec_id, round(avg(sim), 6) AS knn_sim FROM r WHERE rank <= 5 GROUP
 """
 
 # ---------------------------------------------------------------------------
-# transcript-native queries (datagen input; rows-only driver check — the
-# full parity checks live in the pytest suite)
+# transcript-native queries — over the oracle-portable synthetic turn table
+# (plans/portable.py: md5-hash derivation from events.parquet, bit-identical
+# in Spark and DuckDB), so the driver gate can value-hash these. The
+# xxhash64 datagen remains the perf-bench input (streaming suite, bench.py).
 # ---------------------------------------------------------------------------
 
-
-def _gen_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deterministic, seed-pinned; independent of sf_dir by design
-    from dataflow_mm_spark.datagen import transcripts
-
-    return transcripts(spark, n_convs=300, seed=42)
+from dataflow_mm_spark.plans.portable import SYNTH_TURNS_SQL, synthetic_turns  # noqa: E402
 
 
 def transcripts_role_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return CEP.role_violations(_gen_transcripts(spark, sf_dir))
+    return CEP.role_violations(synthetic_turns(spark, sf_dir))
+
+
+TRANSCRIPTS_ROLE_VIOL_SQL = f"""
+WITH synth AS ({SYNTH_TURNS_SQL}),
+ua AS (SELECT * FROM synth WHERE role IN ('user', 'assistant')),
+x AS (
+  SELECT conv_id, turn_idx, role, ts,
+         lag(role) OVER w AS prev_role,
+         lag(turn_idx) OVER w AS prev_turn_idx
+  FROM ua WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx, role, prev_turn_idx, prev_role, ts
+FROM x WHERE prev_role = role
+"""
 
 
 def transcripts_tool_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return CEP.tool_pairing(_gen_transcripts(spark, sf_dir))
+    return CEP.tool_pairing(synthetic_turns(spark, sf_dir))
+
+
+TRANSCRIPTS_TOOL_PAIRING_SQL = f"""
+WITH synth AS ({SYNTH_TURNS_SQL}),
+x AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         lead(role) OVER w AS next_role,
+         lead(tool) OVER w AS next_tool,
+         lead(turn_idx) OVER w AS next_turn_idx,
+         lead(ts) OVER w AS next_ts
+  FROM synth WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+calls AS (
+  SELECT * FROM x
+  WHERE role = 'assistant' AND tool IS NOT NULL
+    AND len(regexp_extract_all(text, '(?s)<tool_call>(.*?)</tool_call>', 1)) > 0
+)
+SELECT conv_id, turn_idx, tool,
+  coalesce(next_role = 'tool' AND next_tool = tool, FALSE) AS paired,
+  CAST(CASE WHEN next_role = 'tool' AND next_tool = tool
+            THEN next_turn_idx END AS DOUBLE) AS result_turn_idx,
+  CASE WHEN next_role = 'tool' AND next_tool = tool
+       THEN round(epoch(next_ts) - epoch(ts), 6) END AS latency_sec
+FROM calls
+"""
 
 
 def transcripts_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.session_agg_batch(_gen_transcripts(spark, sf_dir), gap_seconds=1800)
+    return W.session_agg_batch(synthetic_turns(spark, sf_dir), gap_seconds=1800)
+
+
+TRANSCRIPTS_SESSION_SQL = f"""
+WITH synth AS ({SYNTH_TURNS_SQL}),
+x AS (
+  SELECT conv_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM synth WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+), y AS (
+  SELECT conv_id, ts,
+         sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM x
+)
+SELECT conv_id, min(ts) AS sess_start, max(ts) AS sess_last,
+       max(ts) + INTERVAL 1800 SECOND AS sess_end,
+       count(*) AS n_turns,
+       round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_sec
+FROM y GROUP BY conv_id, sess_id
+"""
 
 
 def transcripts_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: quality-filtered turn counts per conversation per 5-minute
     tumbling window (SURVEY.md §7.2 slice, batch form)."""
-    t = Q.rule_base_filter(_gen_transcripts(spark, sf_dir))
+    # cache = projection barrier: filter pushdown would otherwise inline the
+    # synthetic text CASE into every one of the 15 rule expressions
+    t = Q.rule_base_filter(synthetic_turns(spark, sf_dir).cache())
     return W.tumbling_agg(t, size="5 minutes")
+
+
+TRANSCRIPTS_QUALITY_WIN_SQL = f"""
+WITH kept AS ({_quality_sql(f'({SYNTH_TURNS_SQL})', 'conv_id, ts')})
+SELECT conv_id,
+       make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT)) * 300 * 1000000) AS win_start,
+       make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT) + 1) * 300 * 1000000) AS win_end,
+       count(*) AS n_turns
+FROM kept GROUP BY 1, 2, 3
+"""
 
 
 def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,7 +831,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_topk": emb_cosine_topk,
     "emb_cosine_neardup": emb_cosine_neardup,
     "emb_knn_avg_sim": emb_knn_avg_sim,
-    # rows-only (non-SQL-expressible or datagen-backed)
     "transcripts_role_violations": transcripts_role_violations,
     "transcripts_tool_pairing": transcripts_tool_pairing,
     "transcripts_sessionization": transcripts_sessionization,
@@ -773,6 +863,10 @@ ORACLES: dict[str, str] = {
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_cosine_neardup": EMB_NEARDUP_SQL,
     "emb_knn_avg_sim": EMB_KNN_SQL,
+    "transcripts_role_violations": TRANSCRIPTS_ROLE_VIOL_SQL,
+    "transcripts_tool_pairing": TRANSCRIPTS_TOOL_PAIRING_SQL,
+    "transcripts_sessionization": TRANSCRIPTS_SESSION_SQL,
+    "transcripts_quality_windows": TRANSCRIPTS_QUALITY_WIN_SQL,
 }
 
 

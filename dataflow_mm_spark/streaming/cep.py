@@ -33,6 +33,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+def _has_call(text):
+    """Complete <tool_call>...</tool_call> span — the SAME span definition as
+    the batch oracle (operators/cep.py tool_pairing via
+    extraction.TOOL_CALL_PATTERN). A bare contains('<tool_call>') would open
+    the tool FSM on an unterminated tag where batch would not, breaking the
+    documented streaming/batch parity contract on malformed input."""
+    from pyspark.sql import functions as F
+
+    from dataflow_mm_spark.functions.extraction import TOOL_CALL_PATTERN
+
+    return text.rlike(TOOL_CALL_PATTERN)
+
+
 TOOL_CALL_RE = re.compile(r"(?s)<tool_call>(.*?)</tool_call>")
 
 OUTPUT_SCHEMA = T.StructType(
@@ -180,7 +193,7 @@ def cep_stream(turns: DataFrame, close_gap: str = "30 minutes") -> DataFrame:
             "conv_id",
             "turn_idx",
             "role",
-            F.col("text").contains("<tool_call>").alias("has_call"),
+            _has_call(F.col("text")).alias("has_call"),
             "tool",
             "ts",
         )
@@ -357,7 +370,7 @@ def cep_stream_bucketed(
             "conv_id",
             "turn_idx",
             "role",
-            F.col("text").contains("<tool_call>").alias("has_call"),
+            _has_call(F.col("text")).alias("has_call"),
             "tool",
             "ts",
             F.pmod(F.xxhash64("conv_id"), F.lit(buckets)).alias("_bucket"),

@@ -62,22 +62,25 @@ def test_keep_top_ratio_and_topk(spark):
     df = spark.createDataFrame(
         [(i, float(i)) for i in range(100)], "id long, score double"
     )
-    kept = TK.keep_top_ratio(df, "score", keep_ratio=0.2)
+    kept = TK.keep_top_ratio(df, "score", keep_ratio=0.2, exact=True)
     ids = sorted(r.id for r in kept.collect())
     # percent_rank = rank/(n-1); <= 0.2 keeps ranks 0..19 → scores 99..80
     assert ids == list(range(80, 100))
     top = TK.top_k(df, "score", 3, tiebreak="id")
     assert sorted(r.id for r in top.collect()) == [97, 98, 99]
+    # content-hash sample: deterministic AND partitioning-independent
     s1 = {r.id for r in TK.seeded_sample_cap(df, 10, seed=7).collect()}
-    s2 = {r.id for r in TK.seeded_sample_cap(df, 10, seed=7).collect()}
+    s2 = {r.id for r in TK.seeded_sample_cap(df.repartition(13), 10, seed=7).collect()}
+    s3 = {r.id for r in TK.seeded_sample_cap(df, 10, seed=8).collect()}
     assert s1 == s2 and len(s1) == 10
+    assert s3 != s1  # different seed → different sample (overwhelmingly)
 
 
 def test_keep_top_ratio_approx_and_nulls_last(spark):
     df = spark.createDataFrame(
         [(i, float(i)) for i in range(1000)], "id long, score double"
     )
-    kept = TK.keep_top_ratio(df, "score", keep_ratio=0.1, approx=True)
+    kept = TK.keep_top_ratio(df, "score", keep_ratio=0.1)  # approx = default
     n = kept.count()
     assert 95 <= n <= 110  # percentile_approx threshold, single pass
     assert kept.agg(F.min("score")).first()[0] >= 890
@@ -147,6 +150,21 @@ def test_batch_list_generator(spark):
     out = G.batch_list_generator(df).first()
     assert len(out.answers) == 3
     assert "p2" in out.answers[1]
+
+
+def test_batch_list_generator_survives_repartition(spark):
+    """Keyed self-join must attach each row's OWN answers even when the input
+    went through a shuffle (the mono-id assignment is partition-dependent —
+    the cache barrier pins one assignment for both join branches). Includes
+    duplicate rows: a content-hash key would merge them."""
+    rows = [([f"q{i}a", f"q{i}b"],) for i in range(40)] + [(["q0a", "q0b"],)]
+    df = spark.createDataFrame(rows, "prompts array<string>").repartition(7)
+    got = G.batch_list_generator(df).collect()
+    assert len(got) == 41
+    for r in got:
+        assert len(r.answers) == 2
+        # fake_serving echoes the prompt → answer i must contain prompt i
+        assert r.prompts[0] in r.answers[0] and r.prompts[1] in r.answers[1]
 
 
 def test_rollout_and_judge(spark):

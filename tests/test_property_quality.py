@@ -5,7 +5,7 @@ seeded for reproducibility)."""
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -21,6 +21,10 @@ texts = st.lists(_alphabet, min_size=0, max_size=60).map("".join)
 
 @settings(max_examples=12, deadline=None)
 @given(st.lists(texts, min_size=1, max_size=40))
+# pinned regressions (hypothesis-found in round 1; the example DB is not
+# committed, so keep them explicit): trailing-whitespace word split, blank
+# text, lone-colon line
+@example(["a b\n", "", "  \n ", ":", "abc…\nd…\ne…"])
 def test_quality_property_parity(spark, corpus):
     pdf = pd.DataFrame({"id": range(len(corpus)), "text": corpus})
     got = {
@@ -69,6 +73,7 @@ shingle_texts = st.lists(_shingle_alphabet, min_size=0, max_size=30).map("".join
 
 @settings(max_examples=10, deadline=None)
 @given(st.lists(shingle_texts, min_size=1, max_size=20))
+@example(["a\tb", " ", "a  b c\n"])  # pinned: tab/trailing-ws split parity
 def test_shingles_property_parity(spark, corpus):
     import re
     import string

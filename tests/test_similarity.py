@@ -82,3 +82,22 @@ def test_knn_avg_similarity_keep_ratio(spark, emb):
     n = kept.count()
     assert 40 <= n <= 60
     assert set(kept.columns) >= {"vec_id", "embedding", "knn_similarity_score"}
+
+
+def test_broadcast_matrix_bound_enforced(spark, emb):
+    import pytest
+
+    with pytest.raises(ValueError, match="ann_lsh_topk"):
+        S._broadcast_matrix(emb, "vec_id", "embedding", max_rows=10)
+    # and the public paths inherit the guard
+    with pytest.raises(ValueError, match="ann_"):
+        S.knn_avg_sim(emb, k=3, max_rows=10).count()
+
+
+def test_no_cartesian_or_global_window_in_knn_plan(spark, emb):
+    """Plan hygiene: the knn keep-ratio path must contain neither a cartesian
+    product nor a single-partition global window sort."""
+    sub = emb.filter(F.col("vec_id") < 50)
+    plan = S.knn_avg_similarity(sub, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
