@@ -16,9 +16,10 @@ Scale design:
   all-pairs problem into an equi-join on (band_idx, band_key): candidates
   shuffle only on band buckets, then exact Jaccard verifies. Band keys are
   md5 of the band slice → uniform bucket distribution, skew-safe.
-* SimHash — 64-bit signature via xxhash64 word hashes folded per bit
-  (vectorized numpy pandas UDF); Hamming distance via bit_count(a XOR b)
-  JVM-side.
+* SimHash — 60-bit signature via md5 word hashes folded per bit (vectorized
+  numpy pandas UDF; md5 keeps it portable to the DuckDB oracle); Hamming
+  distance via bit_count(a XOR b) JVM-side, candidates from 15-bit chunk
+  blocking.
 """
 
 from __future__ import annotations
@@ -330,15 +331,21 @@ def mllib_minhash_pairs(
 # -------------------------------- SimHash ------------------------------------
 
 
+SIMHASH_BITS = 60  # 15 hex chars of md5 — positive in int64 AND portable to
+#                    the DuckDB oracle (CAST('0x'||substr(md5(t),1,15) AS BIGINT))
+
+
 @pandas_udf(T.LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over unigram tokens of the normalized (punctuation
-    stripped, lowercased) text; token hash = stable blake2b (first 8 bytes).
-    Vectorized numpy fold."""
+def simhash_sig(texts: pd.Series) -> pd.Series:
+    """60-bit SimHash over distinct unigram tokens of the normalized
+    (punctuation stripped, lowercased) text. Token hash = first 15 hex chars
+    of md5 — the DuckDB oracle recomputes the identical signature in SQL.
+    Vectorized numpy fold per document."""
     import hashlib
     import string as _string
 
     table = str.maketrans("", "", _string.punctuation)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
 
     def sh(t: str | None) -> int:
         if not t:
@@ -346,19 +353,13 @@ def simhash64(texts: pd.Series) -> pd.Series:
         toks = t.translate(table).lower().split()
         if not toks:
             return 0
-        hs = np.frombuffer(
-            b"".join(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest()
-                for tok in set(toks)
-            ),
-            dtype=np.uint64,
+        hs = np.array(
+            [int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) for tok in set(toks)],
+            dtype=np.int64,
         )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        v = np.where(bits.sum(0) * 2 >= len(hs), 1, 0).astype(np.uint64)
-        out = np.uint64(0)
-        for i in range(64):
-            out |= np.uint64(v[i]) << np.uint64(i)
-        return int(out.astype(np.int64))
+        bits = (hs[:, None] >> shifts) & 1
+        v = (bits.sum(0) * 2 >= len(hs)).astype(np.int64)
+        return int((v << shifts).sum())
 
     return texts.map(sh).astype("int64")
 
@@ -369,9 +370,9 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Block on 4 x 16-bit chunks (a pair within Hamming ≤ 3 must agree on at
+    """Block on 4 x 15-bit chunks (a pair within Hamming ≤ 3 must agree on at
     least one chunk — pigeonhole), verify with bit_count(a XOR b)."""
-    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_s"))
+    sig = df.select(F.col(id_col).alias("_id"), simhash_sig(F.col(text_col)).alias("_s"))
     chunks = sig.select(
         "_id",
         "_s",
@@ -380,7 +381,7 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("c"),
-                        F.shiftright("_s", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("k"),
+                        F.shiftright("_s", 15 * i).bitwiseAND(F.lit(0x7FFF)).alias("k"),
                     )
                     for i in range(4)
                 ]

@@ -177,25 +177,44 @@ def knn_avg_sim(
     return df.mapInPandas(gen, f"{id_col} long, {out_col} double")
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+def det_planes(dim: int, n_planes: int, seed: int) -> list[list[int]]:
+    """Deterministic integer hyperplanes: entry (j,i) = md5-60bit of
+    'hp:seed:j:i' mod 17 - 8 (range [-8,8]). Integer-valued random directions
+    are valid sign-LSH projections, and — combined with the integer-quantized
+    vectors below — make the bucket assignment EXACT (no float summation
+    order), so the DuckDB oracle recomputes identical buckets in SQL."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"hp:{seed}:{j}:{i}".encode()).hexdigest()[:15], 16) % 17 - 8
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
 
 
-def lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
-    """Random-hyperplane signature: int bucket id from sign pattern."""
-    planes = _hyperplanes(dim, n_planes, seed)
-
-    @pandas_udf(T.LongType())
-    def sig(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())
-        bits = (m @ planes.T) > 0
-        out = np.zeros(len(m), dtype=np.int64)
-        for i in range(planes.shape[0]):
-            out |= bits[:, i].astype(np.int64) << i
-        return pd.Series(out)
-
+def lsh_signature(vq_col: Column, planes: list[list[int]]) -> Column:
+    """Bucket id from the sign pattern of integer dot products — pure
+    Catalyst (zip_with/aggregate fold, exact int64 math), no Python in the
+    hot path. ``vq_col`` must be a PRE-PROJECTED quantized int vector column
+    (round(x*1000) — HALF_UP, matching DuckDB round())."""
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(p).cast("long") for p in plane])
+        d = F.aggregate(
+            F.zip_with(vq_col, arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
+
+
+def quantize_vec(vec: Column) -> Column:
+    """int64 quantization at 3 decimals — identical in Spark and DuckDB
+    (both round half away from zero on doubles)."""
+    return F.transform(_as_double(vec), lambda x: F.round(x * 1000, 0).cast("bigint"))
 
 
 def ann_lsh_topk(
@@ -209,15 +228,20 @@ def ann_lsh_topk(
     max_queries: int = 10,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket and
-    its ≤``probe_bits``-bit-flip neighbor buckets (multi-probe). Same output
+    its ≤``probe_bits``-bit-flip neighbor buckets (multi-probe) — i.e. all
+    buckets within Hamming ≤ probe_bits of the query signature. Same output
     shape as cosine_topk. Defaults tuned for ~0.85 recall on isotropic
-    embeddings; clustered real-world embeddings need fewer probes."""
+    embeddings; clustered real-world embeddings need fewer probes. Signatures
+    are exact integer math (det_planes) so the DuckDB oracle reproduces the
+    candidate set bit-for-bit."""
     dim = len(df.select(vec_col).first()[0])
-    sig = lsh_signature_udf(dim, n_planes, seed)
+    planes = det_planes(dim, n_planes, seed)
     base = df.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_v"),
-        sig(F.col(vec_col)).alias("_b"),
+        quantize_vec(F.col(vec_col)).alias("_vq"),
+    ).select(
+        "neighbor_id", "_v", lsh_signature(F.col("_vq"), planes).alias("_b")
     ).withColumn("_vn", norm(F.col("_v")))
     flips = [0] + [1 << i for i in range(n_planes)]
     if probe_bits >= 2:
@@ -233,9 +257,10 @@ def ann_lsh_topk(
         df.select(
             F.col(id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("_q"),
-            sig(F.col(vec_col)).alias("_qb"),
+            quantize_vec(F.col(vec_col)).alias("_qq"),
         )
         .filter(F.col("query_id") < max_queries)
+        .select("query_id", "_q", lsh_signature(F.col("_qq"), planes).alias("_qb"))
         .withColumn("_qn", norm(F.col("_q")))
         .withColumn("_probe", F.explode(probes))
     )

@@ -90,20 +90,19 @@ def fingerprint_md5(text: Column, prefix_len: int = 16) -> Column:
 @pandas_udf(T.ArrayType(T.LongType()))
 def winnow_fingerprints(texts: pd.Series) -> pd.Series:
     """Winnowing document fingerprint (Schleimer et al. 2003): rolling
-    polynomial hash over character 5-grams, window-4 minima. Vectorized numpy
-    per document; used for robust near-dup sketching (rows-only oracle)."""
+    polynomial hash over character 5-grams (unicode CODE POINTS — same
+    alphabet as DuckDB's unicode(), making the oracle expressible in pure
+    SQL), window-4 minima. Vectorized numpy per document."""
     K, W, B, M = 5, 4, 257, (1 << 61) - 1
-    # direct polynomial evaluation: max term 255 * sum(B^0..B^4) ≈ 1.1e12,
-    # well inside int64 — fully vectorized, identical to the mod-M recurrence
+    # direct polynomial evaluation: max term 0x10FFFF * B^4 ≈ 4.9e15, sum of
+    # five ≈ 2.4e16 — inside int64, identical to the mod-M recurrence
     powers = np.array([B ** (K - 1 - j) for j in range(K)], dtype=np.int64)
 
     def fp(t: str | None) -> list[int]:
         if not t or len(t) < K:
             return []
-        a = np.frombuffer(t.lower().encode("utf-8", "ignore"), dtype=np.uint8)
-        if len(a) < K:
-            return []
-        win = np.lib.stride_tricks.sliding_window_view(a, K).astype(np.int64)
+        a = np.array([ord(c) for c in t.lower()], dtype=np.int64)
+        win = np.lib.stride_tricks.sliding_window_view(a, K)
         h = (win @ powers) % M
         if len(h) <= W:
             return [int(h.min())]

@@ -793,17 +793,131 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_neardup_pairs(docs, max_hamming=8)
 
 
+# the oracle recomputes the full 60-bit md5 SimHash, the 15-bit-chunk
+# candidate blocking AND the Hamming verification in pure SQL — identical
+# blocking on both sides, so the (documented) pigeonhole recall bound at
+# max_hamming > 3 cancels out of the comparison
+DOCS_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(translate(text, {_PUNCT_SQL}, '')),
+                                          '\\S+', 0)) AS ts
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(ts, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+  FROM tok
+), sig AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN 0 ELSE
+      list_aggregate(list_transform(generate_series(0, 59),
+        b -> CASE WHEN 2 * len(list_filter(hs, x -> (x >> b) & 1 = 1)) >= len(hs)
+                  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END), 'sum')
+    END AS s
+  FROM h
+), chunks AS (
+  SELECT doc_id, s, c, (s >> (15 * c)) & 32767 AS k
+  FROM sig, generate_series(0, 3) AS g(c)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.k = b.k AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+"""
+
+
 def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = S.ann_lsh_topk(emb, k=5, max_queries=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# deterministic integer hyperplanes (md5-derived, similarity.det_planes) let
+# the oracle recompute the EXACT candidate buckets: quantized int dot
+# products have no float summation-order ambiguity. Multi-probe ≤2-bit-flip
+# bucket join == all pairs with signature Hamming ≤ 2. dim=64 (fixture).
+_ANN_PLANES_SQL = "[" + ", ".join(
+    "[" + ", ".join(str(x) for x in row) + "]" for row in S.det_planes(64, 4, 7)
+) + "]"
+
+EMB_ANN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vq AS (SELECT vec_id, v,
+         list_transform(v, x -> CAST(round(x * 1000, 0) AS BIGINT)) AS q
+       FROM e),
+sig AS (
+  SELECT vec_id, v,
+    CAST(list_aggregate(list_transform(generate_series(1, 4), j ->
+      CASE WHEN list_aggregate(list_transform(generate_series(1, len(q)),
+                 i -> q[i] * ({_ANN_PLANES_SQL})[j][i]), 'sum') > 0
+           THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE CAST(0 AS BIGINT) END), 'sum')
+      AS BIGINT) AS s
+  FROM vq
+),
+qs AS (SELECT vec_id AS query_id, v AS qv, s AS qsig FROM sig WHERE vec_id < 10),
+sc AS (
+  SELECT qs.query_id, sig.vec_id AS neighbor_id,
+         list_dot_product(sig.v, qs.qv)
+           / (sqrt(list_dot_product(sig.v, sig.v)) * sqrt(list_dot_product(qs.qv, qs.qv))) AS sim
+  FROM sig JOIN qs
+    ON bit_count(xor(sig.s, qs.qsig)) <= 2 AND sig.vec_id <> qs.query_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sc
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM r WHERE rank <= 5
+"""
+
+
 def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing sketch, pinned to the driver gate via order-insensitive
+    aggregates of the fingerprint set (count/min/max/mod-sum — the array
+    itself stringifies differently across engines)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", TA.winnow_fingerprints(F.col("text")).alias("fps")
-    ).select("doc_id", F.size("fps").cast("long").alias("n_fps"))
+    f = docs.select("doc_id", TA.winnow_fingerprints(F.col("text")).alias("fps"))
+    modsum = F.aggregate(
+        "fps", F.lit(0).cast("long"), lambda s, x: s + x % 1000003
+    )
+    return f.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("fp_min"),
+        F.array_max("fps").alias("fp_max"),
+        modsum.alias("fp_modsum"),
+    )
+
+
+# full winnowing re-expressed in SQL: per-char code points (unicode() ==
+# Python ord for the same string), 5-gram polynomial hash, window-4 distinct
+# minima — B^j constants are 257^j
+DOCS_WINNOW_SQL = """
+WITH c AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n FROM documents),
+h AS (
+  SELECT doc_id,
+    CASE WHEN n >= 5 THEN
+      list_transform(generate_series(1, n - 4), i ->
+        (unicode(substr(t, i, 1)) * 4362470401
+         + unicode(substr(t, i + 1, 1)) * 16974593
+         + unicode(substr(t, i + 2, 1)) * 66049
+         + unicode(substr(t, i + 3, 1)) * 257
+         + unicode(substr(t, i + 4, 1))) % 2305843009213693951)
+    ELSE [] END AS hs
+  FROM c
+), w AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN []
+         WHEN len(hs) <= 4 THEN [list_min(hs)]
+         ELSE list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                i -> list_aggregate(list_slice(hs, i, i + 3), 'min')))
+    END AS fps
+  FROM h
+)
+SELECT doc_id, len(fps) AS n_fps,
+       list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+       CAST(coalesce(list_aggregate(list_transform(fps, x -> x % 1000003), 'sum'), 0) AS BIGINT) AS fp_modsum
+FROM w
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -867,6 +981,9 @@ ORACLES: dict[str, str] = {
     "transcripts_tool_pairing": TRANSCRIPTS_TOOL_PAIRING_SQL,
     "transcripts_sessionization": TRANSCRIPTS_SESSION_SQL,
     "transcripts_quality_windows": TRANSCRIPTS_QUALITY_WIN_SQL,
+    "docs_simhash_neardup": DOCS_SIMHASH_SQL,
+    "docs_winnow_fingerprints": DOCS_WINNOW_SQL,
+    "emb_ann_lsh_topk": EMB_ANN_SQL,
 }
 
 
