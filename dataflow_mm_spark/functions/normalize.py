@@ -42,6 +42,64 @@ def strip_puncs(text: Column) -> Column:
     return F.regexp_replace(text, PUNCS_PATTERN, "")
 
 
+# Whisper-style English text normalization — the deterministic rule subset of
+# the reference's audio transcript normalizer (audio_text_normalizer.py:20,
+# which wraps an EnglishTextNormalizer: bracket removal, contraction
+# expansion, title abbreviations, punctuation strip, whitespace collapse).
+# The number-word engine (five hundred → 500) is intentionally out of scope.
+# Rules are ORDERED (won't/can't must expand before the generic n't rule) and
+# shared verbatim between the Spark chain, the DuckDB oracle, and the pinned
+# Python parity oracle.
+WHISPER_EN_RULES: list[tuple[str, str]] = [
+    (r"\[[^\]]*\]", " "),      # [bracketed] annotations
+    (r"\([^)]*\)", " "),       # (parenthesized) annotations
+    (r"\bwon't\b", "will not"),
+    (r"\bcan't\b", "can not"),
+    (r"\blet's\b", "let us"),
+    (r"n't\b", " not"),
+    (r"'re\b", " are"),
+    (r"'s\b", " is"),
+    (r"'d\b", " would"),
+    (r"'ll\b", " will"),
+    (r"'ve\b", " have"),
+    (r"'m\b", " am"),
+    (r"\bmr\b", "mister"),
+    (r"\bmrs\b", "missus"),
+    (r"\bdr\b", "doctor"),
+    (r"\bst\b", "saint"),
+    (r"[^a-z0-9\s]", " "),     # residual punctuation
+    (r"\s+", " "),             # collapse whitespace
+]
+
+
+def whisper_en_normalize(text: Column) -> Column:
+    """Ordered regexp_replace chain — pure Catalyst, whole-stage codegen."""
+    t = F.lower(text)
+    for pat, rep in WHISPER_EN_RULES:
+        t = F.regexp_replace(t, pat, rep)
+    return F.trim(t)
+
+
+def whisper_en_normalize_py(text: str) -> str:
+    """Pinned pure-Python oracle for the hypothesis parity suite."""
+    import re
+
+    t = text.lower()
+    for pat, rep in WHISPER_EN_RULES:
+        t = re.sub(pat, rep, t)
+    return t.strip(" ")
+
+
+def whisper_en_normalize_sql(expr: str) -> str:
+    """DuckDB form of the same chain (regexp_replace needs the 'g' flag)."""
+    t = f"lower({expr})"
+    for pat, rep in WHISPER_EN_RULES:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        t = f"regexp_replace({t}, '{p}', '{r}', 'g')"
+    return f"trim({t})"
+
+
 @pandas_udf(T.StringType())
 def normalize_text_nfd(texts: pd.Series) -> pd.Series:
     """Full-fidelity normalize incl. NFD (Arrow-batched, vectorized)."""

@@ -177,6 +177,52 @@ def knn_avg_sim(
     return df.mapInPandas(gen, f"{id_col} long, {out_col} double")
 
 
+@pandas_udf(T.DoubleType())
+def svd_entropy(mats: pd.Series) -> pd.Series:
+    """DataTailor informativeness (D7): Shannon entropy of the normalized
+    singular-value spectrum of a sample's token-embedding matrix, scaled to
+    [0,1] by log(rank) (reference datatailor_filter.py:217-238 — SVD over
+    per-sample token embeddings; flat spectrum = information spread across
+    directions = informative). Input column: array<array<double>> (one
+    matrix per row). Vectorized numpy per batch."""
+
+    def h(m) -> float:
+        if m is None or len(m) == 0:
+            return 0.0
+        a = np.array([list(r) for r in m], dtype=np.float64)
+        if a.ndim != 2 or min(a.shape) == 0:
+            return 0.0
+        s = np.linalg.svd(a, compute_uv=False)
+        s = s[s > 1e-12]
+        if len(s) <= 1:
+            return 0.0
+        p = s / s.sum()
+        return float(-(p * np.log(p)).sum() / np.log(len(s)))
+
+    return mats.map(h).astype("float64")
+
+
+def energy_entropy(vec: Column) -> Column:
+    """Per-VECTOR informativeness proxy: entropy of the energy distribution
+    p_i = v_i² / Σv², normalized by log(dim). The 1-D analogue of
+    svd_entropy, pure Catalyst (and SQL-expressible, so the DataTailor
+    selection pipeline is oracle-checkable end-to-end); the matrix kernel
+    above is pytest-pinned against a numpy oracle. ``vec`` must be a
+    PRE-PROJECTED array<double> column (HOF lambda rule).
+
+    Algebraic form ln(S) - T/S with S = Σx², T = Σx²·ln(x²): two FLAT folds —
+    the naive -Σ p·ln(p) would reference the S-subtree inside the lambda and
+    recompute it per element (the measured 50x HOF trap). The DuckDB oracle
+    uses the identical form so the float op sequence matches."""
+    s = F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+    t = F.aggregate(
+        vec,
+        F.lit(0.0),
+        lambda a, x: a + F.when(x * x > 0, x * x * F.log(x * x)).otherwise(0.0),
+    )
+    return (F.log(s) - t / s) / F.log(F.size(vec).cast("double"))
+
+
 def det_planes(dim: int, n_planes: int, seed: int) -> list[list[int]]:
     """Deterministic integer hyperplanes: entry (j,i) = md5-60bit of
     'hp:seed:j:i' mod 17 - 8 (range [-8,8]). Integer-valued random directions

@@ -93,6 +93,43 @@ def seeded_sample_cap(df: DataFrame, cap: int, seed: int = 42) -> DataFrame:
     return df.orderBy(h.asc()).limit(cap)
 
 
+def rank_normalize(
+    df: DataFrame, col: str, out: str, tiebreak: str, round_to: int = 6
+) -> DataFrame:
+    """Exact rank normalization to [0,1]: (rank-1)/(n-1) over (round(col),
+    tiebreak) order — DataTailor's per-metric normalization
+    (datatailor_filter.py:351-362, argsort-based). Ranks on the ROUNDED value
+    so the DuckDB oracle (which sees the same 6dp values) orders identically.
+    A global sort: reference semantics require a total order — at warehouse
+    scale substitute quantile normalization (percentile_approx ECDF)."""
+    w = Window.orderBy(F.round(F.col(col), round_to).asc(), F.col(tiebreak).asc())
+    n = df.count()
+    denom = float(max(n - 1, 1))
+    return df.withColumn(out, (F.row_number().over(w) - 1) / F.lit(denom))
+
+
+def datatailor_select(
+    df: DataFrame,
+    k: int,
+    informativeness_col: str,
+    uniqueness_col: str,
+    id_col: str,
+    inf_weight: float = 1.0 / 3.0,
+) -> DataFrame:
+    """D7 DataTailorFilter selection (datatailor_filter.py:351-372): rank-
+    normalize each metric, combine (informativeness ⅓, uniqueness+
+    representativeness ⅔ by default), keep the top-k by combined score."""
+    r1 = rank_normalize(df, informativeness_col, "_inf_n", tiebreak=id_col)
+    r2 = rank_normalize(r1, uniqueness_col, "_uni_n", tiebreak=id_col)
+    scored = r2.withColumn(
+        "score",
+        F.round(
+            F.col("_inf_n") * inf_weight + F.col("_uni_n") * (1.0 - inf_weight), 6
+        ),
+    ).drop("_inf_n", "_uni_n")
+    return top_k(scored, "score", k, tiebreak=id_col)
+
+
 def order_nulls_last(df: DataFrame, col: str, ascending: bool = True) -> DataFrame:
     c = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
     return df.orderBy(c)

@@ -22,6 +22,7 @@ from dataflow_mm_spark.functions import quality as Q
 from dataflow_mm_spark.functions import similarity as S
 from dataflow_mm_spark.functions import textanalysis as TA
 from dataflow_mm_spark.operators import cep as CEP
+from dataflow_mm_spark.operators import topk as TK
 from dataflow_mm_spark.operators import windows as W
 
 # SQL-literal fragments shared by oracle queries -----------------------------
@@ -438,25 +439,72 @@ DOCS_QUALITY_MUT_SQL = _quality_sql(
 )
 
 
+# OCR (WER) and free-form (ROUGE) reward fixtures: constructed strings whose
+# expected rewards are HAND-DERIVED from the published metric definitions
+# (WER = word edit distance / ref length; ROUGE-1/2/L F1 mean) — the oracle
+# emits those constants, pinning the Python DP/Counter kernels
+# (functions/evaluate.py:38-119) to the driver gate independently of the
+# implementation. Variant v = floor(doc_id/5) % 4.
+_OCR_REF = "the quick brown fox jumps"
+_OCR_HYPS = [
+    "the quick brown fox jumps",   # 0 edits            → 1 - 0/5 = 1.0
+    "the quick brown cat jumps",   # 1 substitution     → 1 - 1/5 = 0.8
+    "the brown fox",               # 2 deletions        → 1 - 2/5 = 0.6
+    "a fast red dog sleeps now",   # 5 subs + 1 insert  → 1 - 6/5 clipped = 0.0
+]
+_FF_REF = "alpha beta gamma delta"
+_FF_HYPS = [
+    "alpha beta gamma delta",      # R1=R2=RL=1                  → 1.0
+    "alpha beta gamma",            # R1=6/7, R2=4/5, RL=6/7      → mean
+    "zeta eta theta",              # no overlap                  → 0.0
+    "delta gamma beta alpha",      # R1=1, R2=0, RL(lcs=1)=1/4   → mean
+]
+
+
+def _sql_arr_case(var: str, items: list[str]) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(items)
+    )
+    return f"CASE {var} {whens} END"
+
+
 def docs_reward_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Answer-reward evaluation (A1) under the driver gate: deterministic
-    gt/model-output pairs derived from doc_id, one SQL-expressible question
-    type per residue class (exact / numerical / regression)."""
+    gt/model-output pairs derived from doc_id, one residue class per
+    question type — exact / numerical / regression (SQL-replicated) plus
+    OCR-WER / free-form-ROUGE (precomputed-constant oracle)."""
     from dataflow_mm_spark.functions.evaluate import reward
 
+    num_gt = (
+        "CASE WHEN doc_id % 5 = 2 THEN concat(CAST(doc_id % 50 AS STRING), '.25') "
+        "ELSE CAST(doc_id % 50 AS STRING) END"
+    )
+    num_out = (
+        "CASE WHEN doc_id % 5 = 2 THEN concat(CAST(doc_id % 40 AS STRING), '.25') "
+        "ELSE CAST(doc_id % 40 AS STRING) END"
+    )
+    v = "CAST(floor(doc_id / 5) AS INT) % 4"
+    ocr_hyp = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_OCR_HYPS)
+    )
+    ff_hyp = " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_FF_HYPS))
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(
-            "concat('<answer>', CASE WHEN doc_id % 3 = 2 THEN concat(CAST(doc_id % 50 AS STRING), '.25') "
-            "ELSE CAST(doc_id % 50 AS STRING) END, '</answer>')"
+            f"concat('<answer>', CASE CAST(doc_id % 5 AS INT) "
+            f"WHEN 3 THEN '{_OCR_REF}' WHEN 4 THEN '{_FF_REF}' "
+            f"ELSE ({num_gt}) END, '</answer>')"
         ).alias("gt_solution"),
         F.expr(
-            "concat('prefix text <answer>', CASE WHEN doc_id % 3 = 2 THEN concat(CAST(doc_id % 40 AS STRING), '.25') "
-            "ELSE CAST(doc_id % 40 AS STRING) END, '</answer>')"
+            f"concat('prefix text <answer>', CASE CAST(doc_id % 5 AS INT) "
+            f"WHEN 3 THEN (CASE {v} {ocr_hyp} END) "
+            f"WHEN 4 THEN (CASE {v} {ff_hyp} END) "
+            f"ELSE ({num_out}) END, '</answer>')"
         ).alias("model_output"),
         F.expr(
-            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'multiple choice' "
-            "WHEN 1 THEN 'numerical' ELSE 'regression' END"
+            "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'multiple choice' "
+            "WHEN 1 THEN 'numerical' WHEN 2 THEN 'regression' "
+            "WHEN 3 THEN 'OCR' ELSE 'free-form' END"
         ).alias("question_type"),
     )
     return docs.select(
@@ -474,12 +522,14 @@ def docs_reward_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOCS_REWARD_SQL = r"""
 WITH d AS (
   SELECT doc_id,
-    CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 50 AS VARCHAR) || '.25'
+    CASE WHEN doc_id % 5 = 2 THEN CAST(doc_id % 50 AS VARCHAR) || '.25'
          ELSE CAST(doc_id % 50 AS VARCHAR) END AS gt,
-    CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 40 AS VARCHAR) || '.25'
+    CASE WHEN doc_id % 5 = 2 THEN CAST(doc_id % 40 AS VARCHAR) || '.25'
          ELSE CAST(doc_id % 40 AS VARCHAR) END AS out,
-    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'multiple choice'
-         WHEN 1 THEN 'numerical' ELSE 'regression' END AS question_type
+    CAST(floor(doc_id / 5) AS INT) % 4 AS v,
+    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'multiple choice'
+         WHEN 1 THEN 'numerical' WHEN 2 THEN 'regression'
+         WHEN 3 THEN 'OCR' ELSE 'free-form' END AS question_type
   FROM documents
 )
 SELECT doc_id, question_type,
@@ -493,12 +543,25 @@ SELECT doc_id, question_type,
            WHEN round(TRY_CAST(replace(gt, ',', '') AS DOUBLE), 2)
               = round(TRY_CAST(replace(out, ',', '') AS DOUBLE), 2) THEN 1.0
            ELSE 0.0 END
-    ELSE  -- regression
+    WHEN 'regression' THEN
       CASE WHEN TRY_CAST(replace(gt, ',', '') AS DOUBLE) IS NULL
              OR TRY_CAST(replace(out, ',', '') AS DOUBLE) IS NULL THEN 0.0
            ELSE 1.0 - least(1.0, greatest(0.0,
              (abs(TRY_CAST(replace(out, ',', '') AS DOUBLE) - TRY_CAST(replace(gt, ',', '') AS DOUBLE)) + 1e-9)
              / (abs(TRY_CAST(replace(gt, ',', '') AS DOUBLE)) + 1e-9))) END
+    -- OCR / free-form: hand-derived constants for the fixture pairs (see
+    -- _OCR_HYPS/_FF_HYPS comments); fractions mirror the metric derivation,
+    -- summation order matches the kernel (R1 + R2 + RL)
+    WHEN 'OCR' THEN
+      CASE v WHEN 0 THEN 1.0
+             WHEN 1 THEN 1.0 - 1.0/5
+             WHEN 2 THEN 1.0 - 2.0/5
+             ELSE 0.0 END
+    ELSE  -- free-form
+      CASE v WHEN 0 THEN 1.0
+             WHEN 1 THEN (6.0/7 + 4.0/5 + 6.0/7)/3
+             WHEN 2 THEN 0.0
+             ELSE (1.0 + 0.0 + 0.25)/3 END
   END, 6) AS reward
 FROM d
 """
@@ -618,6 +681,48 @@ FROM w
 """
 
 
+# contraction/abbreviation-rich suffixes so the normalizer has real work on
+# the (clean) synthetic documents — same injection idea as _MUTATE_SQL
+_WHISPER_SUFFIXES = [
+    " Mr. Smith won't arrive (today) at St. Mary's gate.",
+    " they're ok, it's fine [background noise] and we'll see.",
+    " I'd say she's here; you've seen Dr. Jones, can't you?",
+    "",
+]
+
+
+def docs_whisper_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 TextNormalizer, Whisper-EN engine subset: normalize document text
+    (with injected contractions) — per-row text equality is the invariant."""
+    from dataflow_mm_spark.functions.normalize import whisper_en_normalize
+
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _WHISPER_SUFFIXES]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), sfx).alias("_t")
+    )
+    return docs.select("doc_id", whisper_en_normalize(F.col("_t")).alias("norm"))
+
+
+def _whisper_sql() -> str:
+    from dataflow_mm_spark.functions.normalize import whisper_en_normalize_sql
+    from dataflow_mm_spark.plans.portable import sql_array
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ({sql_array(_WHISPER_SUFFIXES)})[CAST(doc_id % 4 AS INT) + 1] AS t
+  FROM documents
+)
+SELECT doc_id, {whisper_en_normalize_sql('t')} AS norm FROM d
+"""
+
+
+DOCS_WHISPER_SQL = _whisper_sql()
+
+
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TA.fingerprint_md5(F.col("text")).alias("fp"))
@@ -665,6 +770,77 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+"""
+
+
+def emb_datatailor_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 DataTailor selection end-to-end: informativeness (energy entropy,
+    the SQL-expressible 1-D analogue of the pytest-pinned SVD-spectrum
+    kernel) + uniqueness (1 - knn mean cosine), rank-normalized, ⅓/⅔
+    combined, top-100."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+    inf = base.select(
+        "vec_id", F.round(S.energy_entropy(F.col("_v")), 6).alias("informativeness")
+    )
+    knn = S.knn_avg_sim(emb, k=5)
+    j = (
+        inf.join(knn, "vec_id")
+        .withColumn("uniqueness", F.round(1 - F.col("knn_sim"), 6))
+        .drop("knn_sim")
+    )
+    out = TK.datatailor_select(
+        j, k=100, informativeness_col="informativeness",
+        uniqueness_col="uniqueness", id_col="vec_id",
+    )
+    return out.select("vec_id", "informativeness", "uniqueness", "score")
+
+
+# same algebraic entropy form (ln S - T/S) and the same rank-on-rounded /
+# tiebreak-on-vec_id ordering as the Spark operator
+EMB_DATATAILOR_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+stats AS (
+  SELECT vec_id, v,
+    list_aggregate(list_transform(v, x -> x * x), 'sum') AS s,
+    list_aggregate(list_transform(v,
+      x -> CASE WHEN x * x > 0 THEN x * x * ln(x * x) ELSE 0.0 END), 'sum') AS t
+  FROM e
+),
+inf AS (
+  SELECT vec_id,
+         round((ln(s) - t / s) / ln(CAST(len(v) AS DOUBLE)), 6) AS informativeness
+  FROM stats
+),
+sc0 AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), knr AS (
+  SELECT *, row_number() OVER (PARTITION BY ida ORDER BY sim DESC, idb) AS rank FROM sc0
+), knn AS (
+  SELECT ida AS vec_id, round(avg(sim), 6) AS knn_sim FROM knr WHERE rank <= 5 GROUP BY ida
+),
+j AS (
+  SELECT i.vec_id, informativeness, round(1 - knn_sim, 6) AS uniqueness
+  FROM inf i JOIN knn USING (vec_id)
+),
+r AS (
+  SELECT vec_id, informativeness, uniqueness,
+    (row_number() OVER (ORDER BY round(informativeness, 6), vec_id) - 1)
+      / CAST(count(*) OVER () - 1 AS DOUBLE) AS inf_n,
+    (row_number() OVER (ORDER BY round(uniqueness, 6), vec_id) - 1)
+      / CAST(count(*) OVER () - 1 AS DOUBLE) AS uni_n
+  FROM j
+),
+sc AS (
+  SELECT vec_id, informativeness, uniqueness,
+         round(inf_n * (1.0/3.0) + uni_n * (1.0 - 1.0/3.0), 6) AS score
+  FROM r
+),
+t AS (SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM sc)
+SELECT vec_id, informativeness, uniqueness, score FROM t WHERE rn <= 100
 """
 
 
@@ -941,10 +1117,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lang_id": docs_lang_id,
     "docs_token_stats": docs_token_stats,
     "docs_quality_score": docs_quality_score,
+    "docs_whisper_normalize": docs_whisper_normalize,
     "docs_fingerprint": docs_fingerprint,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_cosine_neardup": emb_cosine_neardup,
     "emb_knn_avg_sim": emb_knn_avg_sim,
+    "emb_datatailor_select": emb_datatailor_select,
     "transcripts_role_violations": transcripts_role_violations,
     "transcripts_tool_pairing": transcripts_tool_pairing,
     "transcripts_sessionization": transcripts_sessionization,
@@ -973,10 +1151,12 @@ ORACLES: dict[str, str] = {
     "docs_lang_id": DOCS_LANG_SQL,
     "docs_token_stats": DOCS_TOKEN_SQL,
     "docs_quality_score": DOCS_SCORE_SQL,
+    "docs_whisper_normalize": DOCS_WHISPER_SQL,
     "docs_fingerprint": DOCS_FP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_cosine_neardup": EMB_NEARDUP_SQL,
     "emb_knn_avg_sim": EMB_KNN_SQL,
+    "emb_datatailor_select": EMB_DATATAILOR_SQL,
     "transcripts_role_violations": TRANSCRIPTS_ROLE_VIOL_SQL,
     "transcripts_tool_pairing": TRANSCRIPTS_TOOL_PAIRING_SQL,
     "transcripts_sessionization": TRANSCRIPTS_SESSION_SQL,

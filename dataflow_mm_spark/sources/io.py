@@ -22,7 +22,42 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+# hf:/ms: remote dataset URIs (reference storage.py:175-201: first_entry
+# paths like ``hf:dataset:config:split`` download from the HuggingFace /
+# ModelScope hub). A Spark cluster reads from a warehouse, not per-driver hub
+# caches — so the mapping here is a registry of MOUNTED EXPORTS: either
+# registered explicitly (register_dataset_export) or resolved under
+# $DATAFLOW_MM_SPARK_DATASET_ROOT/<scheme>/<name>/<config>/<split>. The
+# export format is whatever read_any can read (parquet preferred).
+_DATASET_EXPORTS: dict[str, str] = {}
+
+
+def register_dataset_export(uri: str, path: str) -> None:
+    """Map a ``hf:...``/``ms:...`` dataset URI to a local/DFS export path."""
+    _DATASET_EXPORTS[uri] = path
+
+
+def _resolve_dataset_uri(path: str) -> str:
+    if path in _DATASET_EXPORTS:
+        return _DATASET_EXPORTS[path]
+    scheme, rest = path.split(":", 1)
+    root = os.environ.get("DATAFLOW_MM_SPARK_DATASET_ROOT")
+    if root:
+        cand = os.path.join(root, scheme, *[p for p in rest.split(":") if p])
+        if os.path.exists(cand):
+            return cand
+    raise ValueError(
+        f"dataset URI {path!r} has no registered export: call "
+        f"register_dataset_export({path!r}, <path>) or set "
+        f"$DATAFLOW_MM_SPARK_DATASET_ROOT (hub downloads are a driver-side "
+        f"pattern, not a cluster scan — export to parquet once instead)"
+    )
+
+
 def read_any(spark: SparkSession, path: str, fmt: str | None = None, **options) -> DataFrame:
+    if path.startswith(("hf:", "ms:")):
+        path = _resolve_dataset_uri(path)
+        fmt = fmt or _infer_fmt(path)
     fmt = fmt or _infer_fmt(path)
     r = spark.read
     if fmt == "parquet":

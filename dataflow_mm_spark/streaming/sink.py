@@ -21,11 +21,9 @@ Iceberg-shaped on purpose (SURVEY.md §7.5).
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -37,57 +35,101 @@ def _with_lineage(df: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
+class _HadoopFS:
+    """Thin py4j wrapper over org.apache.hadoop.fs.FileSystem — every
+    filesystem mutation in the commit protocol goes through this, so the
+    sink works unchanged against HDFS/S3A/GCS, not just the driver's local
+    disk (driver-local os/shutil would silently corrupt on a real cluster)."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self.fs = self._Path(base).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def exists(self, p: str) -> bool:
+        return self.fs.exists(self._Path(p))
+
+    def delete(self, p: str, recursive: bool = True) -> None:
+        self.fs.delete(self._Path(p), recursive)
+
+    def mkdirs(self, p: str) -> None:
+        self.fs.mkdirs(self._Path(p))
+
+    def list_names(self, d: str) -> list[str]:
+        if not self.exists(d):
+            return []
+        return [s.getPath().getName() for s in self.fs.listStatus(self._Path(d))]
+
+    def write_atomic(self, p: str, data: str) -> None:
+        """create(tmp) + rename — the classic object-store-safe commit."""
+        tmp = p + ".tmp"
+        out = self.fs.create(self._Path(tmp), True)
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
+        if self.exists(p):
+            self.delete(p, recursive=False)
+        self.fs.rename(self._Path(tmp), self._Path(p))
+
+
 class ExactlyOnceParquetSink:
-    """foreachBatch target. Call ``sink.foreach_batch`` from writeStream."""
+    """foreachBatch target. Call ``sink.foreach_batch`` from writeStream.
+    All directory mutations go through the Hadoop FS API (``_HadoopFS``), so
+    the protocol is object-store-ready; per-batch row counts come from the
+    Observation API on the written plan (no second job, no footer re-read)."""
 
     def __init__(self, out_dir: str, partition_cols: tuple[str, ...] = ()):
         self.out_dir = out_dir
         self.partition_cols = partition_cols
-        os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+        self._spark: SparkSession | None = None
+
+    def _fs(self, spark: SparkSession | None = None) -> _HadoopFS:
+        s = spark or self._spark or SparkSession.getActiveSession()
+        if s is None:
+            raise RuntimeError("no active SparkSession for sink filesystem ops")
+        self._spark = s
+        return _HadoopFS(s, self.out_dir)
 
     def _batch_path(self, batch_id: int) -> str:
-        return os.path.join(self.out_dir, f"batch_id={batch_id}")
+        return f"{self.out_dir}/batch_id={batch_id}"
 
     def _manifest_path(self, batch_id: int) -> str:
-        return os.path.join(self.out_dir, "_manifest", f"{batch_id}.json")
+        return f"{self.out_dir}/_manifest/{batch_id}.json"
 
     def foreach_batch(self, df: DataFrame, batch_id: int) -> None:
+        self._spark = df.sparkSession
+        fs = self._fs()
         path = self._batch_path(batch_id)
         # idempotence: a replayed batch_id clobbers its own directory only
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        out = _with_lineage(df, batch_id)
+        if fs.exists(path):
+            fs.delete(path)
+        obs = Observation()
+        out = _with_lineage(df, batch_id).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        )
         writer = out.write.mode("overwrite")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(path)
-        # per-partition lineage metrics from parquet footers (no recompute)
-        import pyarrow.parquet as pq
-
-        files = []
-        for root, _, names in os.walk(path):
-            files += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
-        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         manifest = {
             "batch_id": batch_id,
-            "rows": n_rows,
-            "n_files": len(files),
+            "rows": obs.get["rows"],
             "committed_at_ms": int(time.time() * 1000),
         }
-        tmp = self._manifest_path(batch_id) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(batch_id))
+        fs.mkdirs(f"{self.out_dir}/_manifest")
+        # manifest is the commit point: written only after the data write
+        # returned, via create-tmp + rename
+        fs.write_atomic(self._manifest_path(batch_id), json.dumps(manifest))
 
-    def committed_batches(self) -> list[int]:
-        mdir = os.path.join(self.out_dir, "_manifest")
-        return sorted(
-            int(n[:-5]) for n in os.listdir(mdir) if n.endswith(".json")
-        )
+    def committed_batches(self, spark: SparkSession | None = None) -> list[int]:
+        names = self._fs(spark).list_names(f"{self.out_dir}/_manifest")
+        return sorted(int(n[:-5]) for n in names if n.endswith(".json"))
 
     def read_committed(self, spark) -> DataFrame:
-        paths = [self._batch_path(b) for b in self.committed_batches()]
-        paths = [p for p in paths if os.path.exists(p)]
+        fs = self._fs(spark)
+        paths = [self._batch_path(b) for b in self.committed_batches(spark)]
+        paths = [p for p in paths if fs.exists(p)]
         if not paths:
             raise FileNotFoundError(f"no committed batches under {self.out_dir}")
         return spark.read.parquet(*paths)

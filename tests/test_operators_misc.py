@@ -240,3 +240,26 @@ def test_step_storage_roundtrip(spark, tmp_path):
     write_any(src, jl, fmt="jsonl")
     back = read_any(spark, jl, fmt="jsonl")
     assert back.count() == 2
+
+
+def test_hf_ms_dataset_uri_roundtrip(spark, tmp_path, monkeypatch):
+    """hf:/ms: URIs (reference storage.py:175-201) resolve through the
+    mounted-export registry or $DATAFLOW_MM_SPARK_DATASET_ROOT."""
+    import pytest as _pytest
+
+    from dataflow_mm_spark.sources.io import read_any, register_dataset_export
+
+    exp = str(tmp_path / "exp")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, t string").write.parquet(exp)
+    register_dataset_export("hf:squad:plain_text:train", exp)
+    got = read_any(spark, "hf:squad:plain_text:train")
+    assert got.count() == 2 and set(got.columns) == {"id", "t"}
+
+    root = tmp_path / "root" / "ms" / "wiki" / "en" / "test"
+    root.parent.mkdir(parents=True)
+    spark.createDataFrame([(3,)], "id long").write.parquet(str(root))
+    monkeypatch.setenv("DATAFLOW_MM_SPARK_DATASET_ROOT", str(tmp_path / "root"))
+    assert read_any(spark, "ms:wiki:en:test").count() == 1
+
+    with _pytest.raises(ValueError, match="no registered export"):
+        read_any(spark, "hf:unknown:c:s")

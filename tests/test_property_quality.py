@@ -105,3 +105,31 @@ def test_shingles_property_parity(spark, corpus):
 
     want = {i: oracle(t) for i, t in zip(pdf.id, pdf.text)}
     assert got == want
+
+
+_whisper_alphabet = st.sampled_from(
+    list("ab c.!(\n)['] ")
+    + ["won't", "can't", "let's", "they're", "it's", "i'd", "we'll",
+       "you've", "i'm", "mr", "mrs", "dr", "st", "(aside)", "[noise]", "don't"]
+)
+whisper_texts = st.lists(_whisper_alphabet, min_size=0, max_size=25).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(whisper_texts, min_size=1, max_size=30))
+@example(["mr smith won't st", "", "a(b]c)'s", "[x [y] z]"])
+def test_whisper_normalize_property_parity(spark, corpus):
+    from dataflow_mm_spark.functions.normalize import (
+        whisper_en_normalize,
+        whisper_en_normalize_py,
+    )
+
+    pdf = pd.DataFrame({"id": range(len(corpus)), "text": corpus})
+    got = {
+        r.id: r.n
+        for r in spark.createDataFrame(pdf)
+        .select("id", whisper_en_normalize(F.col("text")).alias("n"))
+        .collect()
+    }
+    want = {i: whisper_en_normalize_py(t) for i, t in zip(pdf.id, pdf.text)}
+    assert got == want

@@ -101,3 +101,50 @@ def test_no_cartesian_or_global_window_in_knn_plan(spark, emb):
     plan = S.knn_avg_similarity(sub, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_svd_entropy_matches_numpy_oracle(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    mats = [rng.standard_normal((8, 6)).tolist() for _ in range(5)]
+    mats.append([[1.0, 0.0], [0.0, 0.0]])  # rank-1 -> single sv -> 0.0
+    mats.append([[1.0, 0.0], [0.0, 1.0]])  # identity -> flat spectrum -> 1.0
+    df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(mats)], "id long, m array<array<double>>"
+    )
+    got = {r.id: r.h for r in df.select("id", S.svd_entropy("m").alias("h")).collect()}
+
+    def oracle(m):
+        s = np.linalg.svd(np.array(m), compute_uv=False)
+        s = s[s > 1e-12]
+        if len(s) <= 1:
+            return 0.0
+        p = s / s.sum()
+        return float(-(p * np.log(p)).sum() / np.log(len(s)))
+
+    for i, m in enumerate(mats):
+        assert abs(got[i] - oracle(m)) < 1e-9, (i, got[i], oracle(m))
+    assert got[5] == 0.0 and abs(got[6] - 1.0) < 1e-12
+
+
+def test_datatailor_select(spark):
+    from dataflow_mm_spark.operators.topk import datatailor_select
+
+    rows = [(i, float(i % 7), float((i * 3) % 11)) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, inf double, uniq double")
+    out = datatailor_select(
+        df, k=10, informativeness_col="inf", uniqueness_col="uniq", id_col="vec_id"
+    )
+    got = out.collect()
+    assert len(got) == 10
+    # uniqueness carries 2/3 weight: selected rows skew strongly toward
+    # high-uniq values, and selection is deterministic under repartition
+    sel_mean = sum(r.uniq for r in got) / 10
+    all_mean = sum(u for _, _, u in rows) / len(rows)
+    assert sel_mean > all_mean + 2.0
+    again = datatailor_select(
+        df.repartition(7), k=10,
+        informativeness_col="inf", uniqueness_col="uniq", id_col="vec_id",
+    ).collect()
+    assert {r.vec_id for r in got} == {r.vec_id for r in again}
