@@ -272,6 +272,7 @@ def ann_lsh_topk(
     probe_bits: int = 2,
     seed: int = 7,
     max_queries: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket and
     its ≤``probe_bits``-bit-flip neighbor buckets (multi-probe) — i.e. all
@@ -280,7 +281,8 @@ def ann_lsh_topk(
     embeddings; clustered real-world embeddings need fewer probes. Signatures
     are exact integer math (det_planes) so the DuckDB oracle reproduces the
     candidate set bit-for-bit."""
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])  # one-row probe job
     planes = det_planes(dim, n_planes, seed)
     base = df.select(
         F.col(id_col).alias("neighbor_id"),

@@ -1005,7 +1005,7 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 8
 
 def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    out = S.ann_lsh_topk(emb, k=5, max_queries=10)
+    out = S.ann_lsh_topk(emb, k=5, max_queries=10, dim=64)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

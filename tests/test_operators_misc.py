@@ -263,3 +263,13 @@ def test_hf_ms_dataset_uri_roundtrip(spark, tmp_path, monkeypatch):
 
     with _pytest.raises(ValueError, match="no registered export"):
         read_any(spark, "hf:unknown:c:s")
+
+
+def test_operator_name_shim():
+    from dataflow_mm_spark.registry import OPERATOR_REGISTRY, get_operator
+
+    assert get_operator("RuleBaseFilter").__name__ == "rule_base_filter"
+    assert get_operator("rulebasefilter").__name__ == "rule_base_filter"
+    assert all(callable(v) for v in OPERATOR_REGISTRY.values())
+    with pytest.raises(KeyError, match="did you mean"):
+        get_operator("RuleBasedFilter")

@@ -38,6 +38,25 @@ def test_sessionized_stream_matches_batch_grouping(spark, tmp_path):
     assert got == want and len(got) > 30
 
 
+def test_session_agg_native_and_batch_hash_identically(spark):
+    """One canonical sessionization: the batch gaps-and-islands operator now
+    emits sess_end = last + gap (the native session_window end), so the two
+    paths agree on ALL shared columns — (conv_id, sess_start, sess_end,
+    n_turns) — not just grouping."""
+    from dataflow_mm_spark.operators.windows import session_agg
+
+    df = transcripts(spark, n_convs=25, seed=7)
+    native = {
+        (r.conv_id, r.sess_start, r.sess_end, r.n_turns)
+        for r in session_agg(df, gap="30 minutes").collect()
+    }
+    batch = {
+        (r.conv_id, r.sess_start, r.sess_end, r.n_turns)
+        for r in session_agg_batch(df, gap_seconds=1800).collect()
+    }
+    assert native == batch and len(native) > 25
+
+
 def test_bleu_basics():
     from dataflow_mm_spark.functions.evaluate import bleu
 
