@@ -116,6 +116,12 @@ def main() -> None:
         "cpus": int(cpus),
         "total_query_sec": round(sum(queries.values()), 2),
     }
+    # latest committed two-parallelism scaling evidence (tools/bench_scaling.py)
+    snap = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "scaling_latest.json")
+    if os.path.exists(snap):
+        with open(snap) as f:
+            result["scaling"] = json.load(f)
     print(json.dumps(result))
 
 

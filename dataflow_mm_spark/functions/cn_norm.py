@@ -1,0 +1,114 @@
+"""Chinese text normalization — number-reading subset of the reference's
+cn_tn engine (dataflow/operators/core_audio/refine/audio_text_normalizer.py
+selects engine='cn_tn', a ~1200-line TTS text-normalization module). This
+module re-implements, from the public rules of Chinese number reading (not
+the reference code), the deterministic subset an ASR/TTS transcript pipeline
+hits most: cardinal integers, decimals, percentages and signed numbers spoken
+in Mandarin. Dates/phone-numbers/units beyond this are intentionally out of
+scope (documented partial).
+
+Reading rules implemented:
+* digits 0-9 → 零一二三四五六七八九; positions 十百千, groups 万/亿
+  (4-digit grouping, e.g. 120034 → 十二万零三十四);
+* interior zero runs collapse to ONE 零; trailing zeros are silent;
+* a leading 一十 reads 十 (10 → 十, 110 → 一百一十);
+* decimals read digit-by-digit after 点 (3.14 → 三点一四);
+* percent N% → 百分之 + reading(N); negative -N → 负 + reading(N).
+
+Exposed as a pure-Python kernel (pinned unit tests) and an Arrow pandas UDF
+that rewrites every number occurrence inside a text column.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_DIGITS = "零一二三四五六七八九"
+_UNITS = ["", "十", "百", "千"]
+_GROUPS = ["", "万", "亿", "万亿"]
+
+
+def _read_under_10000(n: int) -> str:
+    """Reading of 0 < n < 10000, without group suffix."""
+    out = []
+    zero_pending = False
+    for pos in range(3, -1, -1):
+        d = (n // 10**pos) % 10
+        if d == 0:
+            if out:
+                zero_pending = True
+            continue
+        if zero_pending:
+            out.append("零")
+            zero_pending = False
+        out.append(_DIGITS[d] + _UNITS[pos])
+    return "".join(out)
+
+
+def read_int(n: int) -> str:
+    """Mandarin cardinal reading of a non-negative integer < 10^16."""
+    if n == 0:
+        return "零"
+    groups: list[int] = []  # least-significant 4-digit group first
+    while n > 0:
+        groups.append(n % 10000)
+        n //= 10000
+    parts: list[str] = []
+    for i in range(len(groups) - 1, -1, -1):
+        g = groups[i]
+        if g == 0:
+            continue
+        txt = _read_under_10000(g) + _GROUPS[i]
+        # a group under 1000 after a higher group implies an interior zero:
+        # 100_0034 → 一百万零三十四
+        if parts and g < 1000:
+            parts.append("零" + txt)
+        else:
+            parts.append(txt)
+    s = "".join(parts)
+    # leading 一十 reads 十 (only at the very start)
+    if s.startswith("一十"):
+        s = s[1:]
+    return s
+
+
+def read_number(token: str) -> str:
+    """Reading of a matched numeric token: [-]digits[.digits][%]."""
+    t = token
+    prefix = ""
+    if t.startswith("-"):
+        prefix, t = "负", t[1:]
+    percent = t.endswith("%")
+    if percent:
+        t = t[:-1]
+    if "." in t:
+        whole, frac = t.split(".", 1)
+        body = read_int(int(whole or "0")) + "点" + "".join(
+            _DIGITS[int(c)] for c in frac
+        )
+    else:
+        body = read_int(int(t))
+    if percent:
+        body = "百分之" + body
+    return prefix + body
+
+
+_NUM_RE = re.compile(r"-?\d+(?:\.\d+)?%?")
+
+
+def cn_normalize_numbers_py(text: str | None) -> str | None:
+    """Replace every numeric occurrence in ``text`` with its Mandarin
+    reading (pinned-test kernel)."""
+    if text is None:
+        return None
+    return _NUM_RE.sub(lambda m: read_number(m.group(0)), text)
+
+
+@pandas_udf(T.StringType())
+def cn_normalize_numbers(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized column form of :func:`cn_normalize_numbers_py`."""
+    return texts.map(cn_normalize_numbers_py)

@@ -73,9 +73,17 @@ def synthetic_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     datagen.transcripts (tool calls ~1/11, violations ~1/37, defects 15/40,
     dups ~1/29, answers ~1/13)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    t = ev.select(
-        F.col("user_id").cast("string").alias("conv_id"),
+    # partition the turn-numbering window on the STRING conv_id (not the long
+    # user_id): the cast is injective so grouping is identical, and every
+    # downstream window/CEP/session keys on conv_id — one exchange feeds the
+    # whole pipeline instead of user_id-shuffle + conv_id-reshuffle (plan
+    # audited: single hashpartitioning(conv_id))
+    t0 = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "event_id"
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    t = t0.select(
+        "conv_id",
         (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
         "ts",
     )

@@ -723,6 +723,35 @@ SELECT doc_id, {whisper_en_normalize_sql('t')} AS norm FROM d
 DOCS_WHISPER_SQL = _whisper_sql()
 
 
+# cn_tn number-reading fixtures: residue-selected numeric tokens with
+# hand-pinned Mandarin readings (same constants-oracle pattern as WER/ROUGE)
+_CN_TOKENS = ["0", "10", "105", "120034", "1005000", "3.14", "-42", "12%"]
+_CN_READINGS = ["零", "十", "一百零五", "十二万零三十四", "一百万五千",
+                "三点一四", "负四十二", "百分之十二"]
+
+
+def docs_cn_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 TextNormalizer, cn_tn engine subset: Mandarin number reading
+    embedded in text (共<N>条), checked against hand-pinned readings."""
+    from dataflow_mm_spark.functions.cn_norm import cn_normalize_numbers
+
+    tok = F.element_at(
+        F.array(*[F.lit(s) for s in _CN_TOKENS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("共"), tok, F.lit("条")).alias("_t")
+    )
+    return docs.select("doc_id", cn_normalize_numbers(F.col("_t")).alias("norm"))
+
+
+DOCS_CN_SQL = (
+    "SELECT doc_id, '共' || (["
+    + ", ".join(f"'{r}'" for r in _CN_READINGS)
+    + "])[CAST(doc_id % 8 AS INT) + 1] || '条' AS norm FROM documents"
+)
+
+
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TA.fingerprint_md5(F.col("text")).alias("fp"))
@@ -1118,6 +1147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_stats": docs_token_stats,
     "docs_quality_score": docs_quality_score,
     "docs_whisper_normalize": docs_whisper_normalize,
+    "docs_cn_numbers": docs_cn_numbers,
     "docs_fingerprint": docs_fingerprint,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_cosine_neardup": emb_cosine_neardup,
@@ -1152,6 +1182,7 @@ ORACLES: dict[str, str] = {
     "docs_token_stats": DOCS_TOKEN_SQL,
     "docs_quality_score": DOCS_SCORE_SQL,
     "docs_whisper_normalize": DOCS_WHISPER_SQL,
+    "docs_cn_numbers": DOCS_CN_SQL,
     "docs_fingerprint": DOCS_FP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_cosine_neardup": EMB_NEARDUP_SQL,

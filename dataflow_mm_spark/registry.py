@@ -13,8 +13,8 @@ from __future__ import annotations
 import difflib
 from collections.abc import Callable
 
-from dataflow_mm_spark.functions import dedup, evaluate, extraction, normalize, quality
-from dataflow_mm_spark.functions import similarity, textanalysis
+from dataflow_mm_spark.functions import cn_norm, dedup, evaluate, extraction
+from dataflow_mm_spark.functions import normalize, quality, similarity, textanalysis
 from dataflow_mm_spark.operators import (
     cep,
     conversation,
@@ -34,6 +34,7 @@ OPERATOR_REGISTRY: dict[str, Callable] = {
     "FunctionalRefiner": filters.functional_refiner,
     "TextNormalizer": normalize.normalize_text,
     "WhisperTextNormalizer": normalize.whisper_en_normalize,
+    "CNTextNormalizer": cn_norm.cn_normalize_numbers,
     "WikiQARefiner": extraction.parse_qa_blocks,
     "MCTSTreeRefiner": trees.mcts_chain_rows,
     "VisualDependencyRefinerRule": generate.batch_list_generator,

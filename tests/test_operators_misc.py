@@ -273,3 +273,27 @@ def test_operator_name_shim():
     assert all(callable(v) for v in OPERATOR_REGISTRY.values())
     with pytest.raises(KeyError, match="did you mean"):
         get_operator("RuleBasedFilter")
+
+
+def test_cn_number_normalization(spark):
+    """cn_tn number-reading subset: pinned readings + column form."""
+    from dataflow_mm_spark.functions.cn_norm import (
+        cn_normalize_numbers,
+        cn_normalize_numbers_py,
+        read_number,
+    )
+
+    pinned = {
+        "0": "零", "10": "十", "105": "一百零五", "120034": "十二万零三十四",
+        "1005000": "一百万五千", "10500000": "一千零五十万",
+        "100000001": "一亿零一", "3.14": "三点一四",
+        "-42": "负四十二", "12%": "百分之十二", "-2.5%": "负百分之二点五",
+    }
+    for tok, want in pinned.items():
+        assert read_number(tok) == want, tok
+    txt = "共120034条，错误率0.5%，温度-3度"
+    want = "共十二万零三十四条，错误率百分之零点五，温度负三度"
+    assert cn_normalize_numbers_py(txt) == want
+    df = spark.createDataFrame([(txt,), (None,)], "t string")
+    got = [r.n for r in df.select(cn_normalize_numbers("t").alias("n")).collect()]
+    assert got == [want, None]
