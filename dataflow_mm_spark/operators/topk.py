@@ -94,7 +94,8 @@ def seeded_sample_cap(df: DataFrame, cap: int, seed: int = 42) -> DataFrame:
 
 
 def rank_normalize(
-    df: DataFrame, col: str, out: str, tiebreak: str, round_to: int = 6
+    df: DataFrame, col: str, out: str, tiebreak: str, round_to: int = 6,
+    n: int | None = None,
 ) -> DataFrame:
     """Exact rank normalization to [0,1]: (rank-1)/(n-1) over (round(col),
     tiebreak) order — DataTailor's per-metric normalization
@@ -103,7 +104,8 @@ def rank_normalize(
     A global sort: reference semantics require a total order — at warehouse
     scale substitute quantile normalization (percentile_approx ECDF)."""
     w = Window.orderBy(F.round(F.col(col), round_to).asc(), F.col(tiebreak).asc())
-    n = df.count()
+    if n is None:
+        n = df.count()
     denom = float(max(n - 1, 1))
     return df.withColumn(out, (F.row_number().over(w) - 1) / F.lit(denom))
 
@@ -119,8 +121,9 @@ def datatailor_select(
     """D7 DataTailorFilter selection (datatailor_filter.py:351-372): rank-
     normalize each metric, combine (informativeness ⅓, uniqueness+
     representativeness ⅔ by default), keep the top-k by combined score."""
-    r1 = rank_normalize(df, informativeness_col, "_inf_n", tiebreak=id_col)
-    r2 = rank_normalize(r1, uniqueness_col, "_uni_n", tiebreak=id_col)
+    n = df.count()  # one count job feeds both normalizations
+    r1 = rank_normalize(df, informativeness_col, "_inf_n", tiebreak=id_col, n=n)
+    r2 = rank_normalize(r1, uniqueness_col, "_uni_n", tiebreak=id_col, n=n)
     scored = r2.withColumn(
         "score",
         F.round(

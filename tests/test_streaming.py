@@ -243,3 +243,43 @@ def test_neardup_candidates_stream(spark, tmp_path):
     kept_ids = {r.conv_id for r in kept.collect()}
     assert "c1" in kept_ids and "c3" in kept_ids
     assert "c4" not in kept_ids  # exact dup of c1, arrived later
+
+
+def test_streaming_quality_windows_matches_oracled_batch_query(spark, tmp_path):
+    """Closes the parity chain for the flagship slice: the DuckDB-oracled
+    batch query (transcripts_quality_windows, value-hash-gated) must equal
+    the STREAMING windowed_pipeline over the same synthetic turns. Single
+    trigger (all files in one batch) so watermark semantics cannot drop rows
+    relative to batch."""
+    from dataflow_mm_spark.plans.portable import synthetic_turns
+    from dataflow_mm_spark.plans.registry import transcripts_quality_windows
+
+    sf = "/root/testdata/sf0.001"
+    inp = str(tmp_path / "synth_in")
+    synthetic_turns(spark, sf).repartition(8, "conv_id").write.parquet(inp)
+    # sentinel far-future row: pushes the watermark past every real window so
+    # append mode finalizes the tail windows (standard stream-drain pattern)
+    spark.createDataFrame(
+        [("conv-sentinel", 0, "user", "sentinel ok text", None, "2030-01-01 00:00:00")],
+        "conv_id string, turn_idx long, role string, text string, tool string, ts string",
+    ).selectExpr(
+        # events.ts is TIMESTAMP_NTZ — the sentinel must match or the parquet
+        # schemas won't merge
+        "conv_id", "turn_idx", "role", "text", "tool",
+        "cast(ts as timestamp_ntz) ts",
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q, sink = jobs.windowed_pipeline(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    got = {
+        (r.conv_id, r.win_start, r.win_end, r.n_turns)
+        for r in sink.read_committed(spark)
+        .filter(F.col("conv_id") != "conv-sentinel")
+        .collect()
+    }
+    want = {
+        (r.conv_id, r.win_start, r.win_end, r.n_turns)
+        for r in transcripts_quality_windows(spark, sf).collect()
+    }
+    assert got == want and len(want) > 100
