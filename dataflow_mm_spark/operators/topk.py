@@ -95,17 +95,35 @@ def seeded_sample_cap(df: DataFrame, cap: int, seed: int = 42) -> DataFrame:
 
 def rank_normalize(
     df: DataFrame, col: str, out: str, tiebreak: str, round_to: int = 6,
-    n: int | None = None,
+    n: int | None = None, approx_threshold: int = 1_000_000,
+    n_quantiles: int = 1000,
 ) -> DataFrame:
-    """Exact rank normalization to [0,1]: (rank-1)/(n-1) over (round(col),
-    tiebreak) order — DataTailor's per-metric normalization
-    (datatailor_filter.py:351-362, argsort-based). Ranks on the ROUNDED value
-    so the DuckDB oracle (which sees the same 6dp values) orders identically.
-    A global sort: reference semantics require a total order — at warehouse
-    scale substitute quantile normalization (percentile_approx ECDF)."""
-    w = Window.orderBy(F.round(F.col(col), round_to).asc(), F.col(tiebreak).asc())
+    """Rank normalization to [0,1] — DataTailor's per-metric normalization
+    (datatailor_filter.py:351-362, argsort-based).
+
+    Exact path (n ≤ approx_threshold): (rank-1)/(n-1) over (round(col),
+    tiebreak) order — ranks on the ROUNDED value so the DuckDB oracle (which
+    sees the same 6dp values) orders identically. A global one-task sort:
+    correct reference semantics, small-N only.
+
+    Scale path (n > approx_threshold): quantile ECDF — one
+    ``percentile_approx`` aggregate (no global sort, no shuffle beyond the
+    partial agg) yields ``n_quantiles`` boundaries; each row's normalized
+    rank is the fraction of boundaries ≤ its value, evaluated as a JVM HOF
+    over the broadcast boundary array. ±1/n_quantiles resolution."""
     if n is None:
         n = df.count()
+    if n > approx_threshold:
+        probs = [i / n_quantiles for i in range(1, n_quantiles + 1)]
+        qs = df.agg(
+            F.percentile_approx(
+                col, F.array(*[F.lit(p) for p in probs]), F.lit(10000)
+            ).alias("q")
+        ).first().q
+        bounds = F.array(*[F.lit(float(b)) for b in qs])
+        frac = F.size(F.filter(bounds, lambda b: b <= F.col(col))) / float(n_quantiles)
+        return df.withColumn(out, frac)
+    w = Window.orderBy(F.round(F.col(col), round_to).asc(), F.col(tiebreak).asc())
     denom = float(max(n - 1, 1))
     return df.withColumn(out, (F.row_number().over(w) - 1) / F.lit(denom))
 

@@ -121,11 +121,12 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).select(
         "c_custkey", "c_name", "revenue", "n_orders"
     )
+    # top-k via sort+limit (TakeOrderedAndProject: per-partition heads merged
+    # on the driver), NOT a global-window row_number that single-task-sorts
+    # every customer; the rank window then runs over 10 rows only
+    top = joined.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return (
-        joined.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 TOP_CUSTOMERS_SQL = """

@@ -297,3 +297,24 @@ def test_cn_number_normalization(spark):
     df = spark.createDataFrame([(txt,), (None,)], "t string")
     got = [r.n for r in df.select(cn_normalize_numbers("t").alias("n")).collect()]
     assert got == [want, None]
+
+
+def test_rank_normalize_approx_path(spark):
+    """Scale path: quantile-ECDF normalization (no global sort) must agree
+    with the exact rank within the quantile resolution."""
+    df = spark.createDataFrame(
+        [(i, float((i * 7919) % 1000)) for i in range(1000)], "id long, v double"
+    )
+    exact = {
+        r.id: r.n
+        for r in TK.rank_normalize(df, "v", "n", tiebreak="id").collect()
+    }
+    approx = {
+        r.id: r.n
+        for r in TK.rank_normalize(
+            df, "v", "n", tiebreak="id", approx_threshold=0, n_quantiles=200
+        ).collect()
+    }
+    assert all(0.0 <= v <= 1.0 for v in approx.values())
+    diffs = [abs(exact[i] - approx[i]) for i in exact]
+    assert max(diffs) <= 0.02  # within ~2 quantile steps of exact
