@@ -49,8 +49,17 @@ def _read_under_10000(n: int) -> str:
     return "".join(out)
 
 
+def read_digits(s: str) -> str:
+    """Digit-by-digit reading (phone-number style) — the fallback for runs
+    too long to be cardinals."""
+    return "".join(_DIGITS[int(c)] for c in s)
+
+
 def read_int(n: int) -> str:
-    """Mandarin cardinal reading of a non-negative integer < 10^16."""
+    """Mandarin cardinal reading of a non-negative integer < 10^16; longer
+    integers fall back to digit-by-digit (IDs/hashes are not cardinals)."""
+    if n >= 10**16:
+        return read_digits(str(n))
     if n == 0:
         return "零"
     groups: list[int] = []  # least-significant 4-digit group first

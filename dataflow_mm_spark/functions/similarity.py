@@ -91,15 +91,16 @@ def _broadcast_matrix(
     is ENFORCED: a 100TB caller gets this error, not a driver OOM."""
     import numpy as np
 
-    n = df.count()
-    if n > max_rows:
+    # limit(max_rows+1): enforces the bound with ONE job and bounded driver
+    # memory (a separate count() would re-evaluate the whole upstream plan)
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
-            f"brute-force cosine path collects {n} vectors to the driver "
-            f"(bound: {max_rows}). This is the small-matrix baseline only — "
-            f"use ann_lsh_topk / ann_ivf_topk for large inputs, or raise "
+            f"brute-force cosine path collects >{max_rows} vectors to the "
+            f"driver. This is the small-matrix baseline only — use "
+            f"ann_lsh_topk / ann_ivf_topk for large inputs, or raise "
             f"max_rows explicitly if you know the matrix fits."
         )
-    rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     m = np.array([list(r[1]) for r in rows], dtype=np.float64)
     order = np.argsort(ids)
@@ -220,7 +221,11 @@ def energy_entropy(vec: Column) -> Column:
         F.lit(0.0),
         lambda a, x: a + F.when(x * x > 0, x * x * F.log(x * x)).otherwise(0.0),
     )
-    return (F.log(s) - t / s) / F.log(F.size(vec).cast("double"))
+    # all-zero vector: entropy 0 (matches svd_entropy's degenerate-input
+    # convention; unguarded ln(0) is NULL here but a hard ERROR in DuckDB)
+    return F.when(
+        s > 0, (F.log(s) - t / s) / F.log(F.size(vec).cast("double"))
+    ).otherwise(0.0)
 
 
 def det_planes(dim: int, n_planes: int, seed: int) -> list[list[int]]:
@@ -406,8 +411,10 @@ def knn_avg_similarity(
     no O(n²) non-equi self-join, no cartesian shuffle) and the percentile cut
     is ``percentile_approx`` (one aggregate pass — no global window sort).
     Beyond the broadcast bound, swap the knn stage for ann_lsh_topk."""
+    # cache: the matmul plan is consumed twice (threshold agg + final join)
+    # — repo rule for any subplan with 2+ consumers of heavy work
     knn = knn_avg_sim(df, k=k, id_col=id_col, vec_col=vec_col,
-                      out_col="knn_similarity_score")
+                      out_col="knn_similarity_score").cache()
     thr = knn.agg(
         F.percentile_approx(
             "knn_similarity_score", F.lit(keep_ratio), F.lit(accuracy)

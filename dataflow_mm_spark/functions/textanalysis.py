@@ -99,9 +99,12 @@ def winnow_fingerprints(texts: pd.Series) -> pd.Series:
     powers = np.array([B ** (K - 1 - j) for j in range(K)], dtype=np.int64)
 
     def fp(t: str | None) -> list[int]:
-        if not t or len(t) < K:
+        if not t:
             return []
-        a = np.array([ord(c) for c in t.lower()], dtype=np.int64)
+        t = t.lower()  # lower FIRST: the length check must see the same
+        if len(t) < K:  # string the oracle's length(lower(text)) sees
+            return []
+        a = np.array([ord(c) for c in t], dtype=np.int64)
         win = np.lib.stride_tricks.sliding_window_view(a, K)
         h = (win @ powers) % M
         if len(h) <= W:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 
 def keep_top_ratio(
@@ -84,12 +85,18 @@ def top_k(
     )
 
 
-def seeded_sample_cap(df: DataFrame, cap: int, seed: int = 42) -> DataFrame:
-    """Deterministic pseudo-random cap: order by a content hash (all columns
-    + seed), keep first ``cap``. Same seed + same input rows → same sample,
-    regardless of partitioning or arrival order; plan is TakeOrderedAndProject
-    (scale-safe — no global single-task sort)."""
-    h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+def seeded_sample_cap(
+    df: DataFrame, cap: int, seed: int = 42, cols: list[str] | None = None
+) -> DataFrame:
+    """Deterministic pseudo-random cap: order by a content hash (hashable
+    columns + seed), keep first ``cap``. Same seed + same input rows → same
+    sample, regardless of partitioning or arrival order; plan is
+    TakeOrderedAndProject (scale-safe — no global single-task sort).
+    ``cols`` restricts the hash to a stable key subset; by default map-typed
+    columns are excluded (Spark rejects hashing MapType)."""
+    if cols is None:
+        cols = [f.name for f in df.schema if not isinstance(f.dataType, MapType)]
+    h = F.xxhash64(*[F.col(c) for c in cols], F.lit(seed))
     return df.orderBy(h.asc()).limit(cap)
 
 
@@ -120,6 +127,8 @@ def rank_normalize(
                 col, F.array(*[F.lit(p) for p in probs]), F.lit(10000)
             ).alias("q")
         ).first().q
+        if qs is None:  # all-NULL score column
+            return df.withColumn(out, F.lit(0.0))
         bounds = F.array(*[F.lit(float(b)) for b in qs])
         frac = F.size(F.filter(bounds, lambda b: b <= F.col(col))) / float(n_quantiles)
         return df.withColumn(out, frac)
@@ -139,6 +148,7 @@ def datatailor_select(
     """D7 DataTailorFilter selection (datatailor_filter.py:351-372): rank-
     normalize each metric, combine (informativeness ⅓, uniqueness+
     representativeness ⅔ by default), keep the top-k by combined score."""
+    df = df.cache()  # consumed by count + both normalizations + final sort
     n = df.count()  # one count job feeds both normalizations
     r1 = rank_normalize(df, informativeness_col, "_inf_n", tiebreak=id_col, n=n)
     r2 = rank_normalize(r1, uniqueness_col, "_uni_n", tiebreak=id_col, n=n)

@@ -839,7 +839,9 @@ stats AS (
 ),
 inf AS (
   SELECT vec_id,
-         round((ln(s) - t / s) / ln(CAST(len(v) AS DOUBLE)), 6) AS informativeness
+         round(CASE WHEN s > 0
+                    THEN (ln(s) - t / s) / ln(CAST(len(v) AS DOUBLE))
+                    ELSE 0.0 END, 6) AS informativeness
   FROM stats
 ),
 sc0 AS (

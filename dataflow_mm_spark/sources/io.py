@@ -57,7 +57,6 @@ def _resolve_dataset_uri(path: str) -> str:
 def read_any(spark: SparkSession, path: str, fmt: str | None = None, **options) -> DataFrame:
     if path.startswith(("hf:", "ms:")):
         path = _resolve_dataset_uri(path)
-        fmt = fmt or _infer_fmt(path)
     fmt = fmt or _infer_fmt(path)
     r = spark.read
     if fmt == "parquet":

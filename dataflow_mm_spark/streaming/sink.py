@@ -61,16 +61,21 @@ class _HadoopFS:
         return [s.getPath().getName() for s in self.fs.listStatus(self._Path(d))]
 
     def write_atomic(self, p: str, data: str) -> None:
-        """create(tmp) + rename — the classic object-store-safe commit."""
+        """create(tmp) + rename — the classic object-store-safe commit.
+        Hadoop FileSystem.rename/delete report failure by RETURNING false
+        (not throwing); a silent false here would mark the batch committed in
+        the checkpoint with no manifest — permanently dropping its rows from
+        read_committed. Raise instead so Spark fails and replays the batch."""
         tmp = p + ".tmp"
         out = self.fs.create(self._Path(tmp), True)
         try:
             out.write(bytearray(data.encode("utf-8")))
         finally:
             out.close()
-        if self.exists(p):
-            self.delete(p, recursive=False)
-        self.fs.rename(self._Path(tmp), self._Path(p))
+        if self.exists(p) and not self.fs.delete(self._Path(p), False):
+            raise OSError(f"manifest commit: delete of stale {p} returned false")
+        if not self.fs.rename(self._Path(tmp), self._Path(p)):
+            raise OSError(f"manifest commit: rename {tmp} -> {p} returned false")
 
 
 class ExactlyOnceParquetSink:

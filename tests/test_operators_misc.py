@@ -318,3 +318,21 @@ def test_rank_normalize_approx_path(spark):
     assert all(0.0 <= v <= 1.0 for v in approx.values())
     diffs = [abs(exact[i] - approx[i]) for i in exact]
     assert max(diffs) <= 0.02  # within ~2 quantile steps of exact
+
+
+def test_cn_long_digit_runs_fall_back_to_digitwise():
+    from dataflow_mm_spark.functions.cn_norm import cn_normalize_numbers_py
+
+    # 17+ digit runs are IDs, not cardinals — digit-by-digit, no crash
+    out = cn_normalize_numbers_py("id 12345678901234567 end")
+    assert out == "id 一二三四五六七八九零一二三四五六七 end"
+
+
+def test_seeded_sample_cap_with_map_column(spark):
+    df = spark.createDataFrame(
+        [(i, {"k": str(i)}) for i in range(30)],
+        "id long, props map<string,string>",
+    )
+    s1 = {r.id for r in TK.seeded_sample_cap(df, 5, seed=3).collect()}
+    s2 = {r.id for r in TK.seeded_sample_cap(df.repartition(4), 5, seed=3).collect()}
+    assert s1 == s2 and len(s1) == 5

@@ -148,3 +148,15 @@ def test_datatailor_select(spark):
         informativeness_col="inf", uniqueness_col="uniq", id_col="vec_id",
     ).collect()
     assert {r.vec_id for r in got} == {r.vec_id for r in again}
+
+
+def test_energy_entropy_zero_vector_total(spark):
+    """All-zero vector: entropy 0.0 (not NULL) — matches svd_entropy's
+    degenerate convention and the DuckDB oracle's CASE guard."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 1.0, 0.0])], "id long, v array<double>"
+    )
+    got = {r.id: r.h for r in df.select("id", S.energy_entropy(F.col("v")).alias("h")).collect()}
+    assert got[1] == 0.0
+    import math
+    assert abs(got[2] - math.log(2) / math.log(3)) < 1e-12

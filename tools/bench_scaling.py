@@ -92,12 +92,22 @@ def run_child(master: str, inp: str, work: str, job: str) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_convs = int(args[0]) if args else 100_000
-    repeat = 2
-    for a in sys.argv[1:]:
+    # proper flag parsing: a space-separated `--repeat 3` must not leak its
+    # value into the n_convs positional
+    argv = sys.argv[1:]
+    repeat, positionals, i = 2, [], 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--repeat"):
-            repeat = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                repeat = int(a.split("=", 1)[1])
+            else:
+                repeat = int(argv[i + 1])
+                i += 1
+        else:
+            positionals.append(a)
+        i += 1
+    n_convs = int(positionals[0]) if positionals else 100_000
     work = tempfile.mkdtemp(prefix="dfmm_scale_")
     inp = os.path.join(work, "turns_in")
 
