@@ -113,6 +113,14 @@ def bleu(ref: str, hyp: str, max_n: int = 4) -> float:
     return bp * math.exp(log_p / max_n)
 
 
+@pandas_udf(T.DoubleType())
+def bleu_udf(ref: pd.Series, hyp: pd.Series) -> pd.Series:
+    """Column form of :func:`bleu` (Arrow-batched)."""
+    return pd.Series(
+        [bleu(r or "", h or "") for r, h in zip(ref, hyp)], dtype="float64"
+    )
+
+
 def rouge_mean(ref: str, hyp: str) -> float:
     rt = _TOKEN_RE.findall(ref.lower())
     ht = _TOKEN_RE.findall(hyp.lower())

@@ -363,7 +363,11 @@ def _quality_sql(from_sql: str, id_cols: str) -> str:
 WITH base AS (
   SELECT """ + id_cols + r""", text,
          regexp_extract_all(text, '\S+', 0) AS words,
-         list_filter(str_split(text, chr(10)), x -> trim(x) <> '') AS lines
+         list_filter(str_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+         -- normalized line list computed ONCE (the javascript rule needs it
+         -- four times; re-deriving it per reference was 4x the rule's cost)
+         list_filter(list_transform(str_split(text, chr(10)),
+           x -> lower(translate(x, """ + _PUNCT_SQL + r""", ''))), x -> trim(x) <> '') AS norm_lines
   FROM """ + from_sql + r"""
   WHERE text IS NOT NULL AND regexp_matches(text, '\S')
 ), m AS (
@@ -394,16 +398,11 @@ WHERE NOT (
   OR CAST(len(regexp_extract_all(lower(text), 'lorem ipsum', 0)) AS DOUBLE) / length(text) > 3e-8
   OR CAST(len(list_distinct(regexp_extract_all(lower(text), '\S+', 0))) AS DOUBLE) / nw <= 0.1
   OR (nl > 0 AND CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[•‣▶◀◦■□▪▫–]'))) AS DOUBLE) / nl > 0.9)
-  OR (len(list_filter(list_transform(str_split(text, chr(10)),
-         x -> lower(translate(x, """ + _PUNCT_SQL + r""", ''))), x -> trim(x) <> '')) > 0
+  OR (len(norm_lines) > 0
       AND NOT (
-        len(list_filter(list_transform(str_split(text, chr(10)),
-           x -> lower(translate(x, """ + _PUNCT_SQL + r""", ''))), x -> trim(x) <> '')) <= 3
-        OR len(list_filter(list_transform(str_split(text, chr(10)),
-             x -> lower(translate(x, """ + _PUNCT_SQL + r""", ''))), x -> trim(x) <> ''))
-           - len(list_filter(list_filter(list_transform(str_split(text, chr(10)),
-               x -> lower(translate(x, """ + _PUNCT_SQL + r""", ''))), x -> trim(x) <> ''),
-               x -> contains(x, 'javascript'))) >= 3))
+        len(norm_lines) <= 3
+        OR len(norm_lines)
+           - len(list_filter(norm_lines, x -> contains(x, 'javascript'))) >= 3))
 )
 """
     )
@@ -722,6 +721,45 @@ SELECT doc_id, {whisper_en_normalize_sql('t')} AS norm FROM d
 
 
 DOCS_WHISPER_SQL = _whisper_sql()
+
+
+# BLEU fixtures: constructed pairs whose sentence-BLEU (method1 smoothing,
+# functions/evaluate.bleu) is hand-derivable; the oracle carries the metric
+# formula, not the implementation. ref = 'a b c d' (4 tokens):
+#   v0 identical            -> all p_n = 1, BP = 1          -> 1.0
+#   v1 'a b c x'            -> p = 3/4, 2/3, 1/2, 0.1/1      -> exp(mean ln)
+#   v2 'x y z w' (disjoint) -> p = .1/4, .1/3, .1/2, .1/1    -> exp(mean ln)
+#   v3 'a b' (no 4-grams)   -> total_4 = 0                   -> 0.0
+_BLEU_REF = "a b c d"
+_BLEU_HYPS = ["a b c d", "a b c x", "x y z w", "a b"]
+
+
+def docs_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 BLEU kernel pinned to the driver gate (method1-smoothed sentence
+    BLEU, general_text_answer_evaluator.py:83-93 analogue)."""
+    from dataflow_mm_spark.functions.evaluate import bleu_udf
+
+    hyp = F.element_at(
+        F.array(*[F.lit(h) for h in _BLEU_HYPS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lit(_BLEU_REF).alias("_r"), hyp.alias("_h")
+    )
+    return docs.select(
+        "doc_id", F.round(bleu_udf(F.col("_r"), F.col("_h")), 6).alias("bleu")
+    )
+
+
+DOCS_BLEU_SQL = """
+SELECT doc_id,
+  round(CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 1.0
+    WHEN 1 THEN exp((ln(3.0/4) + ln(2.0/3) + ln(1.0/2) + ln(0.1/1)) / 4)
+    WHEN 2 THEN exp((ln(0.1/4) + ln(0.1/3) + ln(0.1/2) + ln(0.1/1)) / 4)
+    ELSE 0.0 END, 6) AS bleu
+FROM documents
+"""
 
 
 # cn_tn number-reading fixtures: residue-selected numeric tokens with
@@ -1143,6 +1181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_quality_filter": docs_quality_filter,
     "docs_quality_filter_mutated": docs_quality_filter_mutated,
     "docs_reward_eval": docs_reward_eval,
+    "docs_bleu_eval": docs_bleu_eval,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_neardup": docs_ngram_neardup,
     "docs_minhash_signatures": docs_minhash_signatures,
@@ -1178,6 +1217,7 @@ ORACLES: dict[str, str] = {
     "docs_quality_filter": DOCS_QUALITY_SQL,
     "docs_quality_filter_mutated": DOCS_QUALITY_MUT_SQL,
     "docs_reward_eval": DOCS_REWARD_SQL,
+    "docs_bleu_eval": DOCS_BLEU_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_ngram_neardup": DOCS_NGRAM_NEARDUP_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
