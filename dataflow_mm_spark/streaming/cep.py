@@ -13,9 +13,18 @@ replay oracle — tests assert set equality on the detection rows).
 
 Out-of-order handling: arrivals are buffered in state keyed by turn_idx and
 the FSM only consumes the contiguous prefix (next_idx, next_idx+1, ...);
-anything beyond a gap waits for the missing turn or the timeout flush. State
-is a flat struct (Python state API limitation, SURVEY.md §7.7) with the
-pending buffer JSON-encoded.
+anything beyond a gap waits for the missing turn. At close (watermark passes
+last activity + gap) the pending buffer is FLUSHED through the FSM in
+ascending turn order (gap-skip) so detections among buffered turns match the
+batch oracle, the open tool call resolves unpaired (close defines the
+effective pairing latency — batch analogue: tool_pairing(max_latency_sec=
+close_gap)), and the state collapses to a small TOMBSTONE {next_idx,
+last_ua_role} retained for 3x the gap: a conversation that RESUMES after a
+close continues its FSM (cross-gap role alternation stays batch-exact)
+instead of restarting at turn 0 and wedging. A stale duplicate of an
+already-consumed turn_idx is dropped on arrival. State is a flat struct
+(Python state API limitation, SURVEY.md §7.7) with the pending buffer
+JSON-encoded.
 
 Skew note: state is keyed by conv_id, so a mega-conversation lands on one
 task — state size is bounded by the pending buffer (gap-bounded), not by
@@ -25,7 +34,6 @@ conversation length, because the FSM discards consumed turns.
 from __future__ import annotations
 
 import json
-import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,20 +41,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# tombstone retention: a closed conversation's {next_idx, last_ua_role} stub
+# survives this many close-gaps past its last activity before full removal
+RETENTION_GAPS = 3
+
+
 def _has_call(text):
     """Complete <tool_call>...</tool_call> span — the SAME span definition as
     the batch oracle (operators/cep.py tool_pairing via
     extraction.TOOL_CALL_PATTERN). A bare contains('<tool_call>') would open
     the tool FSM on an unterminated tag where batch would not, breaking the
     documented streaming/batch parity contract on malformed input."""
-    from pyspark.sql import functions as F
-
     from dataflow_mm_spark.functions.extraction import TOOL_CALL_PATTERN
 
     return text.rlike(TOOL_CALL_PATTERN)
-
-
-TOOL_CALL_RE = re.compile(r"(?s)<tool_call>(.*?)</tool_call>")
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -81,6 +89,22 @@ def _ts_us(ts) -> int:
     return int(pd.Timestamp(ts).value // 1000)
 
 
+def _unpack(st_t) -> list:
+    """Flat state tuple → working list with the pending buffer as a dict."""
+    return [
+        st_t[0], st_t[1], st_t[2], st_t[3], st_t[4],
+        {k: tuple(v) for k, v in json.loads(st_t[5] or "{}").items()},
+        st_t[6], st_t[7], st_t[8], st_t[9], st_t[10],
+    ]
+
+
+def _pack(st: list) -> tuple:
+    return (
+        st[0], st[1], st[2], st[3], st[4], json.dumps(st[5]),
+        st[6], st[7], st[8], st[9], st[10],
+    )
+
+
 def _cep_fn(
     key: tuple,
     pdf_iter: Iterator[pd.DataFrame],
@@ -88,88 +112,48 @@ def _cep_fn(
     close_gap_us: int = 0,
 ) -> Iterator[pd.DataFrame]:
     conv_id = key[0]
+    wm_ms = state.getCurrentWatermarkMs()
     if state.hasTimedOut:
-        (next_idx, _ua, open_tool, open_idx, open_ts, pending_json,
-         n_turns, n_viol, n_paired, n_unpaired, max_ts) = state.get
-        rows = []
-        if open_tool is not None:
-            rows.append(
-                (conv_id, "tool_unpaired", open_idx, open_tool,
-                 pd.Timestamp(open_ts, unit="us"))
+        st = _unpack(state.get)
+        out: list = []
+        if st[6] > 0 or st[5]:
+            # close with activity: flush pending through the FSM, emit the
+            # summary, keep a tombstone so a later resume continues in place
+            _conv_close(conv_id, st, out)
+            state.update(_pack(st))
+            state.setTimeoutTimestamp(
+                max(
+                    st[10] // 1000 + RETENTION_GAPS * (close_gap_us // 1000),
+                    wm_ms + 1000,
+                )
             )
-            n_unpaired += 1
-        rows.append(
-            (
-                conv_id,
-                "conv_summary",
-                next_idx,
-                json.dumps(
-                    {
-                        "n_turns": n_turns,
-                        "n_violations": n_viol,
-                        "n_paired": n_paired,
-                        "n_unpaired": n_unpaired,
-                        "n_pending": len(json.loads(pending_json or "{}")),
-                    },
-                    sort_keys=True,
-                ),
-                pd.Timestamp(max_ts, unit="us"),
+        else:
+            # tombstone with no activity since its close: retention expired
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out, columns=["conv_id", "kind", "turn_idx", "detail", "ts"]
             )
-        )
-        state.remove()
-        yield pd.DataFrame(rows, columns=["conv_id", "kind", "turn_idx", "detail", "ts"])
         return
 
-    st = list(state.get) if state.exists else list(_EMPTY)
-    pending: dict[str, list] = json.loads(st[5] or "{}")
+    st = _unpack(state.get) if state.exists else _unpack(_EMPTY)
     out = []
-
+    arrivals = []
     for pdf in pdf_iter:
         for r in pdf.itertuples():
-            ts_us = _ts_us(r.ts)
-            pending[str(int(r.turn_idx))] = [
-                r.role,
-                r.tool if isinstance(r.tool, str) else None,
-                bool(r.has_call),
-                ts_us,
-            ]
-            if ts_us > st[10]:
-                st[10] = ts_us
-
-    # consume the contiguous prefix
-    while str(st[0]) in pending:
-        role, tool, has_call, ts_us = pending.pop(str(st[0]))
-        idx = st[0]
-        ts = pd.Timestamp(ts_us, unit="us")
-        st[6] += 1  # n_turns
-        # resolve an open tool call: the *next* turn decides pairing
-        if st[2] is not None:
-            if role == "tool" and tool == st[2]:
-                out.append((conv_id, "tool_paired", st[3], st[2], ts))
-                st[8] += 1
-            else:
-                out.append(
-                    (conv_id, "tool_unpaired", st[3], st[2],
-                     pd.Timestamp(st[4], unit="us"))
+            arrivals.append(
+                (
+                    int(r.turn_idx),
+                    r.role,
+                    r.tool if isinstance(r.tool, str) else None,
+                    bool(r.has_call),
+                    _ts_us(r.ts),
                 )
-                st[9] += 1
-            st[2] = st[3] = st[4] = None
-        # role alternation over user/assistant turns only
-        if role in ("user", "assistant"):
-            if st[1] == role:
-                out.append((conv_id, "role_violation", idx, role, ts))
-                st[7] += 1
-            st[1] = role
-        # new tool call opens
-        if has_call and role == "assistant" and tool:
-            st[2], st[3], st[4] = tool, idx, ts_us
-        st[0] = idx + 1
-
-    st[5] = json.dumps(pending)
-    state.update(tuple(st))
+            )
+    _conv_step(conv_id, st, arrivals, out)
+    state.update(_pack(st))
     # close the conversation when the watermark passes last activity + gap;
     # a timeout must be strictly beyond the current watermark
-    wm_ms = state.getCurrentWatermarkMs()
     state.setTimeoutTimestamp(
         max(st[10] // 1000 + close_gap_us // 1000, wm_ms + 1000)
     )
@@ -215,51 +199,76 @@ BUCKET_STATE_SCHEMA = T.StructType(
     ]
 )
 
-# per-conv state vector layout inside the bucket JSON:
+# per-conv state vector layout (both variants; inside the bucket JSON for
+# the bucketed path):
 # [next_idx, last_ua_role, open_tool, open_idx, open_ts_us, pending{idx:[...]},
 #  n_turns, n_violations, n_paired, n_unpaired, max_ts_us]
+# A TOMBSTONE (closed conversation awaiting retention expiry) is the same
+# vector with empty pending and zeroed counters — next_idx/last_ua_role
+# survive so a resumed conversation continues its FSM batch-exactly.
+
+
+def _transition(conv_id: str, st: list, idx: int, role, tool, has_call,
+                ts_us: int, out: list) -> None:
+    """ONE FSM step — the single-source parity target is the batch operator
+    pair (operators/cep.py role_violations + tool_pairing)."""
+    ts = pd.Timestamp(ts_us, unit="us")
+    st[6] += 1  # n_turns
+    # resolve an open tool call: the next consumed turn decides pairing
+    # (== batch lead() over turn order)
+    if st[2] is not None:
+        if role == "tool" and tool == st[2]:
+            out.append((conv_id, "tool_paired", st[3], st[2], ts))
+            st[8] += 1
+        else:
+            out.append(
+                (conv_id, "tool_unpaired", st[3], st[2],
+                 pd.Timestamp(st[4], unit="us"))
+            )
+            st[9] += 1
+        st[2] = st[3] = st[4] = None
+    # role alternation over user/assistant turns only (== batch lag())
+    if role in ("user", "assistant"):
+        if st[1] == role:
+            out.append((conv_id, "role_violation", idx, role, ts))
+            st[7] += 1
+        st[1] = role
+    # new tool call opens
+    if has_call and role == "assistant" and tool:
+        st[2], st[3], st[4] = tool, idx, ts_us
+    st[0] = idx + 1
 
 
 def _conv_step(conv_id: str, st: list, arrivals: list, out: list) -> None:
-    """Run the per-conversation FSM over new arrivals (same transitions as
-    _cep_fn — the single-source parity target is the batch operators)."""
+    """Buffer arrivals, then consume the contiguous prefix."""
     pending = st[5]
     for turn_idx, role, tool, has_call, ts_us in arrivals:
+        if turn_idx < st[0]:
+            continue  # stale duplicate of an already-consumed turn
         pending[str(turn_idx)] = (role, tool, has_call, ts_us)
         if ts_us > st[10]:
             st[10] = ts_us
     while str(st[0]) in pending:
         role, tool, has_call, ts_us = pending.pop(str(st[0]))
-        idx = st[0]
-        ts = pd.Timestamp(ts_us, unit="us")
-        st[6] += 1
-        if st[2] is not None:
-            if role == "tool" and tool == st[2]:
-                out.append((conv_id, "tool_paired", st[3], st[2], ts))
-                st[8] += 1
-            else:
-                out.append(
-                    (conv_id, "tool_unpaired", st[3], st[2],
-                     pd.Timestamp(st[4], unit="us"))
-                )
-                st[9] += 1
-            st[2] = st[3] = st[4] = None
-        if role in ("user", "assistant"):
-            if st[1] == role:
-                out.append((conv_id, "role_violation", idx, role, ts))
-                st[7] += 1
-            st[1] = role
-        if has_call and role == "assistant" and tool:
-            st[2], st[3], st[4] = tool, idx, ts_us
-        st[0] = idx + 1
+        _transition(conv_id, st, st[0], role, tool, has_call, ts_us, out)
 
 
 def _conv_close(conv_id: str, st: list, out: list) -> None:
+    """Close IN PLACE: flush the pending buffer through the FSM in ascending
+    turn order (gap-skip — detections among buffered turns match the batch
+    oracle), resolve a still-open tool call as unpaired (the close gap is the
+    effective pairing latency), emit the summary, then collapse to a
+    tombstone (counters reset; next_idx/last_ua_role kept for resume)."""
+    pending = st[5]
+    for k in sorted(pending, key=int):
+        role, tool, has_call, ts_us = pending.pop(k)
+        _transition(conv_id, st, int(k), role, tool, has_call, ts_us, out)
     if st[2] is not None:
         out.append(
             (conv_id, "tool_unpaired", st[3], st[2], pd.Timestamp(st[4], unit="us"))
         )
         st[9] += 1
+        st[2] = st[3] = st[4] = None
     out.append(
         (
             conv_id,
@@ -271,13 +280,14 @@ def _conv_close(conv_id: str, st: list, out: list) -> None:
                     "n_violations": st[7],
                     "n_paired": st[8],
                     "n_unpaired": st[9],
-                    "n_pending": len(st[5]),
+                    "n_pending": 0,  # flushed above
                 },
                 sort_keys=True,
             ),
             pd.Timestamp(st[10], unit="us"),
         )
     )
+    st[6] = st[7] = st[8] = st[9] = 0  # counters restart for a resume epoch
 
 
 def cep_stream_bucketed(
@@ -294,20 +304,34 @@ def cep_stream_bucketed(
 
     gap_us = _parse_gap_us(close_gap)
 
+    def _sweep(convs: dict, wm_us: int, out: list) -> dict:
+        """Close every conversation the watermark has passed (tombstones stay
+        until retention expiry); returns the surviving conv map."""
+        remaining = {}
+        for cid, st in convs.items():
+            active = st[6] > 0 or st[5]
+            if active and st[10] + gap_us < wm_us:
+                _conv_close(cid, st, out)  # becomes a tombstone in place
+                remaining[cid] = st
+            elif not active and st[10] + RETENTION_GAPS * gap_us < wm_us:
+                pass  # expired tombstone: drop silently
+            else:
+                remaining[cid] = st
+        return remaining
+
+    def _next_event_us(st: list) -> int:
+        # active conv → close at last activity + gap; tombstone → retention
+        return st[10] + (gap_us if (st[6] > 0 or st[5]) else RETENTION_GAPS * gap_us)
+
     def fn(key, pdf_iter, state: GroupState):
         out: list = []
         if state.hasTimedOut:
             convs = json.loads(state.get[0])
             wm_us = state.getCurrentWatermarkMs() * 1000
-            remaining = {}
-            for cid, st in convs.items():
-                if st[10] + gap_us < wm_us:
-                    _conv_close(cid, st, out)
-                else:
-                    remaining[cid] = st
+            remaining = _sweep(convs, wm_us, out)
             if remaining:
-                nxt = min(st[10] for st in remaining.values()) // 1000 + gap_us // 1000
-                state.update((json.dumps(remaining), max(st[10] for st in remaining.values())))
+                nxt = min(_next_event_us(st) for st in remaining.values()) // 1000
+                state.update((json.dumps(remaining), state.get[1]))
                 state.setTimeoutTimestamp(max(nxt, state.getCurrentWatermarkMs() + 1000))
             else:
                 state.remove()
@@ -351,12 +375,11 @@ def cep_stream_bucketed(
 
         # sweep: close conversations the watermark has passed
         wm_us = state.getCurrentWatermarkMs() * 1000
-        for cid in [c for c, st in convs.items() if st[10] + gap_us < wm_us]:
-            _conv_close(cid, convs.pop(cid), out)
+        convs = _sweep(convs, wm_us, out)
 
         state.update((json.dumps(convs), bucket_max))
         if convs:
-            nxt = min(st[10] for st in convs.values()) // 1000 + gap_us // 1000
+            nxt = min(_next_event_us(st) for st in convs.values()) // 1000
         else:
             nxt = bucket_max // 1000 + gap_us // 1000
         state.setTimeoutTimestamp(max(nxt, state.getCurrentWatermarkMs() + 1000))

@@ -96,10 +96,7 @@ def neardup_candidates_stream(
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
-            yield pd.DataFrame(
-                [], columns=["key_new", "key_seen", "band", "sig_agree"]
-            )
-            return
+            return  # nothing to emit — skip the empty-frame alloc
         entries: list[list] = (
             json.loads(state.get[0]) if state.exists else []
         )
@@ -113,11 +110,17 @@ def neardup_candidates_stream(
         )
         for r in rows:
             s = list(r.sig)
+            is_dup = False
             for k_seen, s_seen in entries:
                 agree = sum(a == b for a, b in zip(s, s_seen)) / len(s)
                 if agree >= min_frac and k_seen != r.row_key:
                     out.append((r.row_key, k_seen, int(r.band), round(agree, 4)))
-            if r.row_key not in seen_keys:
+                    is_dup = True
+            # keep-first memory: only rows KEPT (not flagged) join the
+            # comparison window — the reference's last-10k window holds kept
+            # texts (image_diversity_filter.py:14-34); remembering flagged
+            # rows would transitively drop C for A~B, B~C even when A!~C
+            if not is_dup and r.row_key not in seen_keys:
                 entries.append([r.row_key, s])
                 seen_keys.add(r.row_key)
             last_ms = max(last_ms, int(pd.Timestamp(r.ts).value // 1_000_000))
@@ -126,7 +129,8 @@ def neardup_candidates_stream(
         state.update((json.dumps(entries), last_ms))
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(last_ms + ttl_minutes * 60_000, wm + 1000))
-        yield pd.DataFrame(out, columns=["key_new", "key_seen", "band", "sig_agree"])
+        if out:
+            yield pd.DataFrame(out, columns=["key_new", "key_seen", "band", "sig_agree"])
 
     return keyed.groupBy("bucket").applyInPandasWithState(
         fn,

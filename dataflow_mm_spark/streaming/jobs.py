@@ -4,8 +4,11 @@ Each job: readStream → watermark → transform → exactly-once sink, resumabl
 from its checkpoint dir. ``trigger='availableNow'`` drains all pending input
 and stops (used by tests + bench); a real deployment passes
 ``processing_time='10 seconds'`` instead. Shuffle layout: stateful stages key
-on conv_id (or window key) — Spark plants the exchange; the quality scorer
-runs before any shuffle so filtered turns never hit the wire.
+on conv_id (or window key) — Spark plants the exchange. Ordering rule
+(measured, see CLAUDE.md): stateful dedup runs FIRST on the 6 narrow raw
+columns (the shuffle carries whatever flows through it — dedup on enriched
+rows measured 2x slower), THEN quality enrichment; in windowed_pipeline the
+quality FILTER does run pre-shuffle so dropped turns never hit the wire.
 """
 
 from __future__ import annotations
@@ -163,11 +166,11 @@ def context_pipeline(
     one append-mode query; chaining a second STATEFUL op after the join is
     where Spark's restrictions bite (SURVEY §7.7) — that composition runs as
     two queries through an intermediate sink (join output dir → CEP input)."""
+    from dataflow_mm_spark.schema import TRANSCRIPT_SCHEMA
     from dataflow_mm_spark.streaming.joins import prev_turn_context_stream
 
-    raw = spark.readStream.schema(
-        __import__("dataflow_mm_spark.schema", fromlist=["TRANSCRIPT_SCHEMA"]).TRANSCRIPT_SCHEMA
-    ).parquet(input_path)
+    # no watermark on the raw read: prev_turn_context_stream applies its own
+    raw = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
     ctx = prev_turn_context_stream(raw, watermark=watermark, max_gap=max_gap)
     out = ctx.select(
         "*",

@@ -106,9 +106,9 @@ class ExactlyOnceParquetSink:
         self._spark = df.sparkSession
         fs = self._fs()
         path = self._batch_path(batch_id)
-        # idempotence: a replayed batch_id clobbers its own directory only
-        if fs.exists(path):
-            fs.delete(path)
+        # idempotence: a replayed batch_id clobbers its own directory only —
+        # mode("overwrite") below already clears the destination, no separate
+        # exists+delete round-trip against the object store needed
         obs = Observation()
         out = _with_lineage(df, batch_id).observe(
             obs, F.count(F.lit(1)).alias("rows")
@@ -134,7 +134,13 @@ class ExactlyOnceParquetSink:
     def read_committed(self, spark) -> DataFrame:
         fs = self._fs(spark)
         paths = [self._batch_path(b) for b in self.committed_batches(spark)]
-        paths = [p for p in paths if fs.exists(p)]
+        # a MANIFESTED batch with a missing data directory is data loss, not
+        # something to silently skip — the manifest is the commit point
+        missing = [p for p in paths if not fs.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"committed batch data missing (manifest present): {missing}"
+            )
         if not paths:
             raise FileNotFoundError(f"no committed batches under {self.out_dir}")
         return spark.read.parquet(*paths)

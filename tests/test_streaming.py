@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 import glob
+import json
 import os
 
 import pytest
@@ -104,10 +105,13 @@ def test_cep_stream_matches_batch(spark, tmp_path, bucketed):
     assert paired_s == paired_b and len(paired_s) > 0
     assert unpaired_s == unpaired_b
 
-    # every conversation that timed out has exactly one summary
-    summaries = got.filter(F.col("kind") == "conv_summary")
-    assert summaries.groupBy("conv_id").count().filter("count > 1").count() == 0
-    assert summaries.count() > 0
+    # summaries: one per activity epoch (a conversation that closes and later
+    # resumes may emit several), each covering at least one consumed turn
+    summaries = got.filter(F.col("kind") == "conv_summary").collect()
+    assert len(summaries) > 0
+    for s in summaries:
+        d = json.loads(s.detail)
+        assert d["n_turns"] >= 1 and d["n_pending"] == 0
 
 
 def test_checkpoint_resume_exactly_once(spark, tmp_path):
@@ -283,3 +287,64 @@ def test_streaming_quality_windows_matches_oracled_batch_query(spark, tmp_path):
         for r in transcripts_quality_windows(spark, sf).collect()
     }
     assert got == want and len(want) > 100
+
+
+@pytest.mark.parametrize("bucketed", [False, True], ids=["per-conv", "bucketed"])
+def test_cep_close_then_resume_continues_fsm(spark, tmp_path, bucketed):
+    """Regression (round-2 review): a conversation that RESUMES after its
+    close must continue the FSM from its tombstone — cross-gap role
+    alternation and post-close detections stay batch-exact, and each activity
+    epoch gets its own summary. Before the fix the resumed turns wedged in
+    pending forever (FSM restarted at turn 0)."""
+    import time as _time
+
+    T = dt.datetime(2025, 1, 1)
+
+    def turn(conv, idx, role, text, tool, sec):
+        return (conv, idx, role, text, tool, T + dt.timedelta(seconds=sec))
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    call = 'do it <tool_call>{"name": "search_web", "args": {"q": "x"}}</tool_call>'
+    phase1 = [  # idx2: assistant after assistant = violation
+        turn("A", 0, "user", "hi", None, 0),
+        turn("A", 1, "assistant", "hello", None, 30),
+        turn("A", 2, "assistant", "again", None, 60),
+        turn("A", 3, "user", "ok", None, 90),
+    ]
+    pushers = [[turn("Z", 0, "user", "p", None, 7200)],
+               [turn("Z", 1, "assistant", "p", None, 7210)]]
+    phase2 = [  # idx4 user after idx3 user = CROSS-CLOSE violation;
+                # idx5 call paired by idx6
+        turn("A", 4, "user", "back", None, 7500),
+        turn("A", 5, "assistant", call, "search_web", 7530),
+        turn("A", 6, "tool", "<tool_result>search_web ok</tool_result>", "search_web", 7560),
+        turn("A", 7, "user", "thanks", None, 7590),
+    ]
+    # final far-future sentinel drains the second close at end-of-stream
+    finisher = [turn("Z", 2, "user", "p", None, 86400)]
+    inp = str(tmp_path / "in")
+    for batch in [phase1, *pushers, phase2, finisher]:
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(inp)
+        _time.sleep(1.2)  # distinct mtimes → deterministic file-batch order
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q, sink = jobs.cep_pipeline(
+        spark, inp, out, ckpt, bucketed=bucketed, buckets=8,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    got = sink.read_committed(spark).filter(F.col("conv_id") == "A")
+
+    viol_s = {r.turn_idx for r in got.filter(F.col("kind") == "role_violation").collect()}
+    all_a = spark.createDataFrame(phase1 + phase2, schema)
+    viol_b = {r.turn_idx for r in batch_cep.role_violations(all_a).collect()}
+    assert viol_s == viol_b == {2, 4}  # 4 = the cross-close violation
+
+    paired = {r.turn_idx for r in got.filter(F.col("kind") == "tool_paired").collect()}
+    assert paired == {5}
+
+    summaries = [json.loads(r.detail)
+                 for r in got.filter(F.col("kind") == "conv_summary").collect()]
+    assert len(summaries) == 2  # one per activity epoch
+    assert sorted(s["n_turns"] for s in summaries) == [4, 4]
