@@ -598,6 +598,40 @@ FROM v WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.25
 """
 
 
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH end-to-end under the gate: banded candidate generation
+    (equi-join on md5 band keys — the 100TB-shaped path) + exact Jaccard
+    verification. 8 hashes x 4 bands of 2 rows, bigram shingles."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, n=2, num_hashes=8, bands=4, threshold=0.3
+    )
+
+
+DOCS_MINHASH_LSH_SQL = _SHINGLE2_SQL + """
+, sig AS (
+  SELECT doc_id, sh,
+         list_transform(generate_series(0, 7),
+           i -> list_aggregate(list_transform(sh, g -> md5(i::VARCHAR || ':' || g)), 'min')) AS s
+  FROM s
+), bk AS (
+  SELECT doc_id, sh,
+         b, md5(array_to_string(list_slice(s, b * 2 + 1, b * 2 + 2), '|')) AS k
+  FROM sig, generate_series(0, 3) AS g(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+  FROM bk a JOIN bk b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+), v AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa, sb)) AS c, len(sa) AS na, len(sb) AS nb
+  FROM cand
+)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
+FROM v WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.3
+"""
+
+
 def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -1185,6 +1219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_neardup": docs_ngram_neardup,
     "docs_minhash_signatures": docs_minhash_signatures,
+    "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
     "docs_lang_id": docs_lang_id,
     "docs_token_stats": docs_token_stats,
     "docs_quality_score": docs_quality_score,
@@ -1221,6 +1256,7 @@ ORACLES: dict[str, str] = {
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_ngram_neardup": DOCS_NGRAM_NEARDUP_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
+    "docs_minhash_lsh_pairs": DOCS_MINHASH_LSH_SQL,
     "docs_lang_id": DOCS_LANG_SQL,
     "docs_token_stats": DOCS_TOKEN_SQL,
     "docs_quality_score": DOCS_SCORE_SQL,
