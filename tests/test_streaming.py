@@ -312,14 +312,15 @@ def test_cep_close_then_resume_continues_fsm(spark, tmp_path, bucketed):
         turn("A", 2, "assistant", "again", None, 60),
         turn("A", 3, "user", "ok", None, 90),
     ]
-    pushers = [[turn("Z", 0, "user", "p", None, 7200)],
-               [turn("Z", 1, "assistant", "p", None, 7210)]]
-    phase2 = [  # idx4 user after idx3 user = CROSS-CLOSE violation;
+    pushers = [[turn("Z", 0, "user", "p", None, 5400)],
+               [turn("Z", 1, "assistant", "p", None, 5410)]]
+    phase2 = [  # resume 1.5h later (inside the 4-gap tombstone retention):
+                # idx4 user after idx3 user = CROSS-CLOSE violation;
                 # idx5 call paired by idx6
-        turn("A", 4, "user", "back", None, 7500),
-        turn("A", 5, "assistant", call, "search_web", 7530),
-        turn("A", 6, "tool", "<tool_result>search_web ok</tool_result>", "search_web", 7560),
-        turn("A", 7, "user", "thanks", None, 7590),
+        turn("A", 4, "user", "back", None, 5700),
+        turn("A", 5, "assistant", call, "search_web", 5730),
+        turn("A", 6, "tool", "<tool_result>search_web ok</tool_result>", "search_web", 5760),
+        turn("A", 7, "user", "thanks", None, 5790),
     ]
     # final far-future sentinel drains the second close at end-of-stream
     finisher = [turn("Z", 2, "user", "p", None, 86400)]
