@@ -244,10 +244,14 @@ def minhash_lsh_pairs(
     jac = F.size(F.array_intersect("_sa", "_sb")) / F.size(
         F.array_union("_sa", "_sb")
     )
+    # filter on the UNROUNDED ratio, round only for output — the DuckDB
+    # oracle (DOCS_MINHASH_LSH_SQL) and ngram_jaccard_pairs both threshold
+    # unrounded; thresholding the rounded value here would keep a pair whose
+    # Jaccard lies in [threshold-5e-7, threshold) that the oracle drops
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        cand.withColumn("_j", jac)
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
     )
 
 

@@ -53,8 +53,11 @@ def merge_spans_capped(
 
     Cumulative cut rule → ordered applyInPandas per key (the reference runs
     the same loop per row in a process pool)."""
+    # key columns keep their INPUT types (a long user_id key must not be
+    # declared string — Arrow would fail the batch at runtime)
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = (
-        ", ".join(f"{k} string" for k in key_cols)
+        ", ".join(f"{k} {in_types[k]}" for k in key_cols)
         + ", sequence_num int, merged_start double, merged_end double, n_spans int"
     )
 

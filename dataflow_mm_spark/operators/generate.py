@@ -102,9 +102,12 @@ def batch_list_generator(
     # the two consumers of `keyed` (explode branch + final join) must observe
     # ONE materialized assignment, not recompute it independently — an AQE
     # re-plan or upstream shuffle would silently attach answers to the wrong
-    # rows. cache() is the repo-wide rule for any subplan feeding a self-join.
+    # rows. cache() is NOT enough here: cached blocks are best-effort, and an
+    # evicted/lost block is recomputed with a possibly different id layout.
+    # localCheckpoint TRUNCATES lineage — recomputation is impossible, so a
+    # lost block fails the job instead of silently mis-joining answers.
     # (A content hash is no substitute: duplicate rows must keep distinct keys.)
-    keyed = df.withColumn(key, F.monotonically_increasing_id()).cache()
+    keyed = df.withColumn(key, F.monotonically_increasing_id()).localCheckpoint()
     exploded = keyed.select(key, F.posexplode(prompts_col).alias("_pos", "_prompt"))
     answered = prompted_generator(
         exploded, serving_factory, prompt_col="_prompt", output_col="_ans", **kw

@@ -38,7 +38,11 @@ def keep_top_ratio(
     aggregate pass then a pushed-down predicate; survives any scale. The
     threshold row itself is kept inclusively, so the kept fraction can exceed
     keep_ratio by the tie mass at the boundary (np.percentile-style cuts have
-    the same property).
+    the same property). On LOW-CARDINALITY scores (e.g. small-integer counts)
+    the boundary tie mass can be large — an 0.5 cut on a score with ~10
+    distinct values may keep 60%+ of the rows. Callers needing an exact
+    fraction on tied scores should pass ``exact=True`` (small inputs) or
+    pre-jitter with a deterministic tiebreak column.
 
     ``exact=True``: percent_rank over a GLOBAL sort — one task sorts the
     universe. Only for small inputs where reproducing the reference's exact

@@ -161,10 +161,14 @@ def _cep_fn(
             )
     _conv_step(conv_id, st, arrivals, out)
     state.update(_pack(st))
-    # close the conversation when the watermark passes last activity + gap;
-    # a timeout must be strictly beyond the current watermark
+    # close an ACTIVE conversation when the watermark passes last activity +
+    # gap; a TOMBSTONE that received only stale duplicates (all skipped) must
+    # keep its RETENTION horizon — mirroring _next_event_us in the bucketed
+    # path — else the close-gap timeout removes it after 1 gap and a later
+    # resume restarts the FSM at 0. Timeouts are strictly beyond the watermark.
+    horizon_us = close_gap_us if (st[6] > 0 or st[5]) else RETENTION_GAPS * close_gap_us
     state.setTimeoutTimestamp(
-        max(st[10] // 1000 + close_gap_us // 1000, wm_ms + 1000)
+        max(st[10] // 1000 + horizon_us // 1000, wm_ms + 1000)
     )
     if out:  # skipping the empty frame saves a pandas alloc per quiet key
         yield pd.DataFrame(out, columns=["conv_id", "kind", "turn_idx", "detail", "ts"])

@@ -106,9 +106,14 @@ class ExactlyOnceParquetSink:
         self._spark = df.sparkSession
         fs = self._fs()
         path = self._batch_path(batch_id)
-        # idempotence: a replayed batch_id clobbers its own directory only —
-        # mode("overwrite") below already clears the destination, no separate
-        # exists+delete round-trip against the object store needed
+        # idempotence: a replayed batch_id must clobber its own directory
+        # ENTIRELY. mode("overwrite") alone is not enough: under
+        # spark.sql.sources.partitionOverwriteMode=dynamic with partition_cols
+        # set, a retry only overwrites partitions present in the retry's data,
+        # leaving the failed attempt's stale partitions inside a directory we
+        # then manifest as committed. Explicit FS delete closes that hole.
+        if fs.exists(path):
+            fs.delete(path, recursive=True)
         obs = Observation()
         out = _with_lineage(df, batch_id).observe(
             obs, F.count(F.lit(1)).alias("rows")

@@ -64,6 +64,10 @@ def lazy_pipeline(spark, out_dir: str) -> None:
     ).drop("doc_id")
 
     sessions = session_agg_batch(marked, gap_seconds=1800)
+    # n_turns is a low-cardinality integer score: the approximate percentile
+    # cut is tie-INCLUSIVE, so the kept fraction can exceed 0.5 by the tie
+    # mass at the boundary (documented in keep_top_ratio) — acceptable for a
+    # keep-the-longer-sessions heuristic; pass exact=True for a strict cut.
     top_sessions = keep_top_ratio(sessions, "n_turns", keep_ratio=0.5)
     messages = assemble_messages(marked)
 
