@@ -282,10 +282,14 @@ def ann_lsh_topk(
     """Approximate top-k: candidates restricted to the query's LSH bucket and
     its ≤``probe_bits``-bit-flip neighbor buckets (multi-probe) — i.e. all
     buckets within Hamming ≤ probe_bits of the query signature. Same output
-    shape as cosine_topk. Defaults tuned for ~0.85 recall on isotropic
-    embeddings; clustered real-world embeddings need fewer probes. Signatures
-    are exact integer math (det_planes) so the DuckDB oracle reproduces the
-    candidate set bit-for-bit."""
+    shape as cosine_topk. Signatures are exact integer math (det_planes) so
+    the DuckDB oracle reproduces the candidate set bit-for-bit.
+
+    NOTE on scale: the default 4-plane/≤2-bit config probes 11 of 16 buckets
+    (~69% of the corpus) — it exists as the cross-engine-exact ORACLE fixture,
+    not the scale path. For large corpora use :func:`ann_lsh_topk_banded`
+    (banded signatures, ~bands/2^band_bits selectivity, recall+selectivity
+    pytest-asserted at 100k vectors) or :func:`ann_ivf_topk`."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])  # one-row probe job
     planes = det_planes(dim, n_planes, seed)
@@ -329,6 +333,142 @@ def ann_lsh_topk(
     return (
         scored.dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _rng_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Seeded Gaussian hyperplanes for the banded scale path (float matmul
+    signatures — determinism within one engine is all the pytest recall/
+    selectivity harness needs; the cross-engine-exact integer planes stay in
+    det_planes for the oracle fixture)."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def ann_lsh_band_keys(
+    df: DataFrame,
+    planes_bc,
+    bands: int,
+    band_bits: int,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+) -> DataFrame:
+    """(id, band_key) rows: the signature's ``bands`` chunks of ``band_bits``
+    sign bits each, packed as band_idx * 2^band_bits + chunk. One vectorized
+    numpy matmul per Arrow batch — no per-row Python."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def keys_udf(vecs: pd.Series) -> pd.Series:
+        planes = planes_bc.value
+        m = np.array([list(v) for v in vecs], dtype=np.float64)
+        if len(m) == 0:
+            return pd.Series([], dtype=object)
+        bits = (m @ planes.T) > 0  # (rows, bands*band_bits)
+        weights = 1 << np.arange(band_bits, dtype=np.int64)
+        # fully vectorized packing: (rows, bands, band_bits) @ weights
+        chunks = bits.reshape(len(m), bands, band_bits).astype(np.int64) @ weights
+        keys = chunks + (np.arange(bands, dtype=np.int64) << band_bits)
+        return pd.Series(keys.tolist())
+
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(keys_udf(_as_double(F.col(vec_col)))).alias("_bk"),
+    )
+
+
+def ann_lsh_banded_candidates(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 48,
+    bands: int = 6,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (query_id, neighbor_id): rows sharing ≥1 full band
+    chunk with the query — SimHash-style pigeonhole blocking over random-
+    hyperplane sign bits, the demonstrably SUB-LINEAR path (vs the small
+    multiprobe fixture ann_lsh_topk, whose default probes ~69% of buckets).
+
+    Bucket math: with ``band_bits = n_planes/bands`` sign bits per band, a
+    uniform corpus spreads each band over 2^band_bits buckets, so expected
+    candidates per query ≈ bands · n / 2^band_bits — 6·n/256 ≈ 2.3% of the
+    corpus at the defaults, and scale-tunable: at n=10^8 use band_bits=16
+    (bands·n/65536 ≈ 9k candidates/query, ~0.01%). Recall for a neighbor at
+    angle θ is 1-(1-p^band_bits)^bands with p = 1-θ/π (per-bit agreement) —
+    ≥0.85 within ~25° at the defaults; raise ``bands`` (more planes) for
+    looser neighbors. Both properties are pytest-asserted at 100k vectors
+    (tests/test_similarity.py); measured there: recall 0.96 at selectivity
+    0.034 (50 queries, 2000-cluster corpus, defaults).
+
+    The join is NARROW on purpose: only (id, band_key) rows shuffle/broadcast;
+    vectors are re-attached by id afterwards — at warehouse scale the band
+    table is the index you bucket-write, a fraction of the vector bytes."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    band_bits = n_planes // bands
+    if band_bits * bands != n_planes:
+        raise ValueError("n_planes must be divisible by bands")
+    planes_bc = df.sparkSession.sparkContext.broadcast(
+        _rng_planes(dim, n_planes, seed)
+    )
+    base_keys = ann_lsh_band_keys(
+        df, planes_bc, bands, band_bits, id_col, vec_col, "neighbor_id"
+    )
+    q_keys = ann_lsh_band_keys(
+        queries, planes_bc, bands, band_bits, id_col, vec_col, "query_id"
+    )
+    return (
+        base_keys.join(broadcast(q_keys), "_bk")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
+def ann_lsh_topk_banded(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 48,
+    bands: int = 6,
+    seed: int = 7,
+    max_queries: int = 10,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k over the banded candidate set (exact cosine rank
+    within candidates). Same output shape as cosine_topk. This is the
+    100TB-shaped ANN: candidate generation is a bucketed equi-join touching
+    ~bands/2^band_bits of the corpus per query (see
+    ann_lsh_banded_candidates), never a driver collect or an all-pairs
+    join."""
+    queries = df.filter(F.col(id_col) < max_queries)
+    cand = ann_lsh_banded_candidates(
+        df, queries, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, bands=bands, seed=seed, dim=dim,
+    )
+    vecs = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_vn", norm(F.col("_v")))
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_q")
+    ).withColumn("_qn", norm(F.col("_q")))
+    scored = (
+        cand.join(vecs, "neighbor_id")
+        .join(broadcast(qvecs), "query_id")
+        .withColumn(
+            "sim", dot(F.col("_q"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )

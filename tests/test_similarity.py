@@ -69,6 +69,57 @@ def test_ann_ivf_recall(spark, emb, emb_np):
     assert hits / total >= 0.5, f"recall {hits/total}"
 
 
+def test_ann_banded_recall_and_selectivity_100k(spark):
+    """The SCALE ANN path must be demonstrably sub-linear: at 100k clustered
+    vectors, banded LSH must reach BOTH recall ≥ 0.8 against brute-force
+    top-5 AND selectivity (candidate pairs / (n_queries·corpus)) ≤ 5% —
+    i.e. it is not brute force with join overhead (the 4-plane multiprobe
+    fixture's failure mode)."""
+    n, dim, n_clusters, nq, k = 100_000, 32, 2_000, 50, 5
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = np.arange(n) % n_clusters
+    # sigma=0.3: same-cluster pairs sit ~23deg apart — realistic embedding
+    # cluster tightness (near-dup / same-topic neighborhoods)
+    m = centers[assign] + (0.3 / np.sqrt(dim)) * rng.standard_normal((n, dim))
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = np.arange(n)
+
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": list(m.astype(np.float64))}),
+        "vec_id long, embedding array<double>",
+    ).repartition(16).cache()
+    df.count()
+
+    # brute-force ground truth in numpy (independent of the engine)
+    q = m[:nq]
+    sims = q @ m.T  # unit-norm rows -> cosine
+    want: dict[int, set[int]] = {}
+    for qi in range(nq):
+        s = sims[qi].copy()
+        s[qi] = -2.0
+        top = np.argpartition(-s, k)[: k + 8]
+        top = top[np.lexsort((top, -s[top]))][:k]
+        want[qi] = set(int(t) for t in top)
+
+    queries = df.filter(F.col("vec_id") < nq)
+    n_cand = S.ann_lsh_banded_candidates(df, queries).count()
+    selectivity = n_cand / (nq * n)
+    assert selectivity <= 0.05, f"selectivity {selectivity:.4f} — not sub-linear"
+
+    got = S.ann_lsh_topk_banded(df, k=k, max_queries=nq).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(by_q.get(qi, set()) & want[qi]) for qi in range(nq))
+    recall = hits / (nq * k)
+    assert recall >= 0.8, f"recall {recall:.3f} at selectivity {selectivity:.4f}"
+    df.unpersist()
+
+
 def test_cosine_neardup_pairs_symmetric_bound(spark, emb):
     sub = emb.filter(F.col("vec_id") < 60)
     pairs = S.cosine_neardup_pairs(sub, threshold=0.9).collect()
