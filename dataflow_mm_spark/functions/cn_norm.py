@@ -8,12 +8,20 @@ in Mandarin. Dates/phone-numbers/units beyond this are intentionally out of
 scope (documented partial).
 
 Reading rules implemented:
-* digits 0-9 → 零一二三四五六七八九; positions 十百千, groups 万/亿
-  (4-digit grouping, e.g. 120034 → 十二万零三十四);
-* interior zero runs collapse to ONE 零; trailing zeros are silent;
+* digits 0-9 → 零一二三四五六七八九; positions 十百千, groups 万/亿/万亿
+  (4-digit grouping, e.g. 120034 → 十二万零三十四,
+  100034567 → 一亿零三万四千五百六十七);
+* interior zero runs collapse to ONE 零; trailing zeros are silent. The 零
+  is inserted when a lower 4-digit group starts below its 千 place (the
+  widely-taught group-frame rule): 10500 → 一万零五百, 1005000 → 一百万五千;
 * a leading 一十 reads 十 (10 → 十, 110 → 一百一十);
 * decimals read digit-by-digit after 点 (3.14 → 三点一四);
-* percent N% → 百分之 + reading(N); negative -N → 负 + reading(N).
+* percent N% → 百分之 + reading(N); negative -N → 负 + reading(N);
+* dates: a 4-digit year before 年 reads digit-by-digit (2024年 → 二零二四年);
+  months/days are plain cardinals so 月/日 need no special casing;
+* latin unit suffixes attached to a number map to their Mandarin readings
+  (kg→千克, km→千米, cm→厘米, mm→毫米, ℃→摄氏度); bare 'm' is ambiguous
+  and intentionally unmapped.
 
 Exposed as a pure-Python kernel (pinned unit tests) and an Arrow pandas UDF
 that rewrites every number occurrence inside a text column.
@@ -85,12 +93,29 @@ def read_int(n: int) -> str:
     return s
 
 
+_UNIT_READINGS = {
+    "kg": "千克",
+    "km": "千米",
+    "cm": "厘米",
+    "mm": "毫米",
+    "℃": "摄氏度",
+}
+
+
 def read_number(token: str) -> str:
-    """Reading of a matched numeric token: [-]digits[.digits][%]."""
+    """Reading of a matched numeric token:
+    ``DDDD年`` (year, digit-by-digit) or ``[-]digits[.digits][%|unit]``."""
     t = token
+    if t.endswith("年"):  # 4-digit year — matched only as \d{4}年
+        return read_digits(t[:-1]) + "年"
     prefix = ""
     if t.startswith("-"):
         prefix, t = "负", t[1:]
+    unit = ""
+    for u, reading in _UNIT_READINGS.items():
+        if t.endswith(u):
+            unit, t = reading, t[: -len(u)]
+            break
     percent = t.endswith("%")
     if percent:
         t = t[:-1]
@@ -103,10 +128,10 @@ def read_number(token: str) -> str:
         body = read_int(int(t))
     if percent:
         body = "百分之" + body
-    return prefix + body
+    return prefix + body + unit
 
 
-_NUM_RE = re.compile(r"-?\d+(?:\.\d+)?%?")
+_NUM_RE = re.compile(r"\d{4}年|-?\d+(?:\.\d+)?(?:%|kg|km|cm|mm|℃)?")
 
 
 def cn_normalize_numbers_py(text: str | None) -> str | None:

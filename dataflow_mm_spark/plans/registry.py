@@ -439,25 +439,51 @@ DOCS_QUALITY_MUT_SQL = _quality_sql(
 )
 
 
-# OCR (WER) and free-form (ROUGE) reward fixtures: constructed strings whose
-# expected rewards are HAND-DERIVED from the published metric definitions
-# (WER = word edit distance / ref length; ROUGE-1/2/L F1 mean) — the oracle
-# emits those constants, pinning the Python DP/Counter kernels
-# (functions/evaluate.py:38-119) to the driver gate independently of the
-# implementation. Variant v = floor(doc_id/5) % 4.
-_OCR_REF = "the quick brown fox jumps"
-_OCR_HYPS = [
-    "the quick brown fox jumps",   # 0 edits            → 1 - 0/5 = 1.0
-    "the quick brown cat jumps",   # 1 substitution     → 1 - 1/5 = 0.8
-    "the brown fox",               # 2 deletions        → 1 - 2/5 = 0.6
-    "a fast red dog sleeps now",   # 5 subs + 1 insert  → 1 - 6/5 clipped = 0.0
+# OCR (WER) and free-form (ROUGE) reward fixtures: 16 (ref, hyp) shapes per
+# metric — mixed insert/delete/substitute edits, repeated tokens, unicode,
+# transpositions and empty strings. Expected rewards are derived at import
+# time from the INDEPENDENT reference implementations in
+# oracles/metric_oracle.py (full-matrix DP, separate precision/recall
+# n-gram counting — deliberately a different code shape from the engine
+# kernels in functions/evaluate.py:38-119), so the driver gate pins the
+# kernels to the metric DEFINITION, not to themselves. Variant
+# v = doc_id % 16 on both engines.
+_OCR_PAIRS = [
+    ("the quick brown fox jumps", "the quick brown fox jumps"),  # exact
+    ("the quick brown fox jumps", "the quick brown cat jumps"),  # 1 sub
+    ("the quick brown fox jumps", "the brown fox"),              # 2 del
+    ("the quick brown fox jumps", "a fast red dog sleeps now"),  # clipped 0
+    ("a b c d e f g h", "a b x d e f h"),                        # sub + del mix
+    ("a b c d", "a b c d e f"),                                  # 2 ins
+    ("hello", ""),                                               # empty hyp
+    ("", "hello world"),                                         # empty ref
+    ("", ""),                                                    # both empty
+    ("x x x x x", "x x x"),                                      # repeats, del
+    ("a a b b c c", "a b a b c c"),                              # repeat swaps
+    ("über straße çok güzel", "uber strasse çok güzel"),         # unicode subs
+    ("one two three four five six", "one three two four six five"),
+    ("word", "word word word word"),                             # ins-only clip
+    ("alpha beta gamma delta epsilon zeta",
+     "alpha beta gamma delta epsilon zeta eta"),                 # 1 ins / 6
+    ("repeat repeat repeat end", "repeat repeat end"),           # 1 del / 4
 ]
-_FF_REF = "alpha beta gamma delta"
-_FF_HYPS = [
-    "alpha beta gamma delta",      # R1=R2=RL=1                  → 1.0
-    "alpha beta gamma",            # R1=6/7, R2=4/5, RL=6/7      → mean
-    "zeta eta theta",              # no overlap                  → 0.0
-    "delta gamma beta alpha",      # R1=1, R2=0, RL(lcs=1)=1/4   → mean
+_FF_PAIRS = [
+    ("alpha beta gamma delta", "alpha beta gamma delta"),
+    ("alpha beta gamma delta", "alpha beta gamma"),
+    ("alpha beta gamma delta", "zeta eta theta"),
+    ("delta gamma beta alpha", "alpha beta gamma delta"),   # reorder: R2=0
+    ("the cat the cat the", "the cat"),                     # repeated tokens
+    ("a a a b", "a b a"),                                   # clipped counts
+    ("one two three", ""),                                  # empty hyp
+    ("", "one two three"),                                  # empty ref
+    ("", ""),                                               # both empty
+    ("Case Insensitive TOKENS", "case insensitive tokens"), # casing
+    ("punct, here! and; there?", "punct here and there"),   # punct stripped
+    ("numbers 123 and 456 here", "numbers 123 here"),
+    ("w1 w2 w3 w4 w5 w6 w7 w8", "w1 w2 w3 w4"),
+    ("repeat repeat repeat repeat", "repeat"),
+    ("long common subsequence test case", "common subsequence in test case"),
+    ("naïve café déjà vu", "naive cafe deja vu"),            # accent splits
 ]
 
 
@@ -468,11 +494,20 @@ def _sql_arr_case(var: str, items: list[str]) -> str:
     return f"CASE {var} {whens} END"
 
 
+def _sql_const_case(var: str, vals: list[float]) -> str:
+    """CASE emitting full-precision double literals (repr round-trips
+    exactly); the caller wraps in round(..., 6) so DuckDB performs the same
+    half-away rounding Spark's round() does — never Python's banker's."""
+    whens = " ".join(f"WHEN {i} THEN {v!r}" for i, v in enumerate(vals))
+    return f"CASE {var} {whens} END"
+
+
 def docs_reward_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Answer-reward evaluation (A1) under the driver gate: deterministic
     gt/model-output pairs derived from doc_id, one residue class per
     question type — exact / numerical / regression (SQL-replicated) plus
-    OCR-WER / free-form-ROUGE (precomputed-constant oracle)."""
+    OCR-WER / free-form-ROUGE over 16 fixture shapes each, pinned to
+    constants from the independent oracles/metric_oracle.py."""
     from dataflow_mm_spark.functions.evaluate import reward
 
     num_gt = (
@@ -483,22 +518,22 @@ def docs_reward_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN doc_id % 5 = 2 THEN concat(CAST(doc_id % 40 AS STRING), '.25') "
         "ELSE CAST(doc_id % 40 AS STRING) END"
     )
-    v = "CAST(floor(doc_id / 5) AS INT) % 4"
-    ocr_hyp = " ".join(
-        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_OCR_HYPS)
-    )
-    ff_hyp = " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_FF_HYPS))
+    v = "CAST(doc_id % 16 AS INT)"
+    ocr_ref = _sql_arr_case(v, [r for r, _ in _OCR_PAIRS])
+    ocr_hyp = _sql_arr_case(v, [h for _, h in _OCR_PAIRS])
+    ff_ref = _sql_arr_case(v, [r for r, _ in _FF_PAIRS])
+    ff_hyp = _sql_arr_case(v, [h for _, h in _FF_PAIRS])
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(
             f"concat('<answer>', CASE CAST(doc_id % 5 AS INT) "
-            f"WHEN 3 THEN '{_OCR_REF}' WHEN 4 THEN '{_FF_REF}' "
+            f"WHEN 3 THEN ({ocr_ref}) WHEN 4 THEN ({ff_ref}) "
             f"ELSE ({num_gt}) END, '</answer>')"
         ).alias("gt_solution"),
         F.expr(
             f"concat('prefix text <answer>', CASE CAST(doc_id % 5 AS INT) "
-            f"WHEN 3 THEN (CASE {v} {ocr_hyp} END) "
-            f"WHEN 4 THEN (CASE {v} {ff_hyp} END) "
+            f"WHEN 3 THEN ({ocr_hyp}) "
+            f"WHEN 4 THEN ({ff_hyp}) "
             f"ELSE ({num_out}) END, '</answer>')"
         ).alias("model_output"),
         F.expr(
@@ -519,14 +554,19 @@ def docs_reward_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOCS_REWARD_SQL = r"""
+def _reward_sql() -> str:
+    from dataflow_mm_spark.oracles import metric_oracle as MO
+
+    ocr_consts = [MO.ocr_reward(r, h) for r, h in _OCR_PAIRS]
+    ff_consts = [MO.freeform_reward(r, h) for r, h in _FF_PAIRS]
+    return f"""
 WITH d AS (
   SELECT doc_id,
     CASE WHEN doc_id % 5 = 2 THEN CAST(doc_id % 50 AS VARCHAR) || '.25'
          ELSE CAST(doc_id % 50 AS VARCHAR) END AS gt,
     CASE WHEN doc_id % 5 = 2 THEN CAST(doc_id % 40 AS VARCHAR) || '.25'
          ELSE CAST(doc_id % 40 AS VARCHAR) END AS out,
-    CAST(floor(doc_id / 5) AS INT) % 4 AS v,
+    CAST(doc_id % 16 AS INT) AS v,
     CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'multiple choice'
          WHEN 1 THEN 'numerical' WHEN 2 THEN 'regression'
          WHEN 3 THEN 'OCR' ELSE 'free-form' END AS question_type
@@ -549,22 +589,17 @@ SELECT doc_id, question_type,
            ELSE 1.0 - least(1.0, greatest(0.0,
              (abs(TRY_CAST(replace(out, ',', '') AS DOUBLE) - TRY_CAST(replace(gt, ',', '') AS DOUBLE)) + 1e-9)
              / (abs(TRY_CAST(replace(gt, ',', '') AS DOUBLE)) + 1e-9))) END
-    -- OCR / free-form: hand-derived constants for the fixture pairs (see
-    -- _OCR_HYPS/_FF_HYPS comments); fractions mirror the metric derivation,
-    -- summation order matches the kernel (R1 + R2 + RL)
-    WHEN 'OCR' THEN
-      CASE v WHEN 0 THEN 1.0
-             WHEN 1 THEN 1.0 - 1.0/5
-             WHEN 2 THEN 1.0 - 2.0/5
-             ELSE 0.0 END
-    ELSE  -- free-form
-      CASE v WHEN 0 THEN 1.0
-             WHEN 1 THEN (6.0/7 + 4.0/5 + 6.0/7)/3
-             WHEN 2 THEN 0.0
-             ELSE (1.0 + 0.0 + 0.25)/3 END
+    -- OCR / free-form: constants derived from oracles/metric_oracle.py
+    -- (independent full-matrix DP / separate-P-R n-gram implementations)
+    -- over the 16-shape fixture families _OCR_PAIRS/_FF_PAIRS
+    WHEN 'OCR' THEN ({_sql_const_case('v', ocr_consts)})
+    ELSE ({_sql_const_case('v', ff_consts)})
   END, 6) AS reward
 FROM d
 """
+
+
+DOCS_REWARD_SQL = _reward_sql()
 
 
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,60 +792,91 @@ SELECT doc_id, {whisper_en_normalize_sql('t')} AS norm FROM d
 DOCS_WHISPER_SQL = _whisper_sql()
 
 
-# BLEU fixtures: constructed pairs whose sentence-BLEU (method1 smoothing,
-# functions/evaluate.bleu) is hand-derivable; the oracle carries the metric
-# formula, not the implementation. ref = 'a b c d' (4 tokens):
-#   v0 identical            -> all p_n = 1, BP = 1          -> 1.0
-#   v1 'a b c x'            -> p = 3/4, 2/3, 1/2, 0.1/1      -> exp(mean ln)
-#   v2 'x y z w' (disjoint) -> p = .1/4, .1/3, .1/2, .1/1    -> exp(mean ln)
-#   v3 'a b' (no 4-grams)   -> total_4 = 0                   -> 0.0
-_BLEU_REF = "a b c d"
-_BLEU_HYPS = ["a b c d", "a b c x", "x y z w", "a b"]
+# BLEU fixtures: 16 (ref, hyp) pairs covering brevity-penalty both ways,
+# clipped repeated-token counts, partial n-gram overlap, disjoint and empty
+# strings. Constants derived from oracles/metric_oracle.bleu_method1 (the
+# literal Papineni/method1 formula — independent of functions/evaluate.bleu).
+_BLEU_PAIRS = [
+    ("a b c d", "a b c d"),                                  # exact
+    ("a b c d", "a b c x"),                                  # 1 sub
+    ("a b c d", "x y z w"),                                  # disjoint
+    ("a b c d", "a b"),                                      # no 4-grams → 0
+    ("a b c d e f", "a b c d e f g h"),                      # longer hyp BP=1
+    ("a b c d e f g h", "a b c d"),                          # BP=exp(1-8/4)
+    ("a b c d", ""),                                         # empty hyp → 0
+    ("", "a b c d"),                                         # empty ref
+    ("a a a a", "a a a a"),                                  # repeats exact
+    ("a a b b", "a a a b"),                                  # clipped counts
+    ("the quick brown fox jumps over", "the quick brown fox jumps over"),
+    ("the quick brown fox jumps over", "the quick brown dog jumps over"),
+    ("one two three four five", "one two three four"),       # short by 1
+    ("w x y z", "w x y z w x y z"),                          # doubled hyp
+    ("s t u v", "s t v u"),                                  # transposition
+    ("m n o p q", "m n o p p q"),                            # dup insert
+]
 
 
 def docs_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 BLEU kernel pinned to the driver gate (method1-smoothed sentence
-    BLEU, general_text_answer_evaluator.py:83-93 analogue)."""
+    BLEU, general_text_answer_evaluator.py:83-93 analogue) over the 16-pair
+    fixture family."""
     from dataflow_mm_spark.functions.evaluate import bleu_udf
 
-    hyp = F.element_at(
-        F.array(*[F.lit(h) for h in _BLEU_HYPS]),
-        (F.col("doc_id") % 4 + 1).cast("int"),
-    )
+    v = "CAST(doc_id % 16 AS INT)"
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.lit(_BLEU_REF).alias("_r"), hyp.alias("_h")
+        "doc_id",
+        F.expr(_sql_arr_case(v, [r for r, _ in _BLEU_PAIRS])).alias("_r"),
+        F.expr(_sql_arr_case(v, [h for _, h in _BLEU_PAIRS])).alias("_h"),
     )
     return docs.select(
         "doc_id", F.round(bleu_udf(F.col("_r"), F.col("_h")), 6).alias("bleu")
     )
 
 
-DOCS_BLEU_SQL = """
-SELECT doc_id,
-  round(CASE CAST(doc_id % 4 AS INT)
-    WHEN 0 THEN 1.0
-    WHEN 1 THEN exp((ln(3.0/4) + ln(2.0/3) + ln(1.0/2) + ln(0.1/1)) / 4)
-    WHEN 2 THEN exp((ln(0.1/4) + ln(0.1/3) + ln(0.1/2) + ln(0.1/1)) / 4)
-    ELSE 0.0 END, 6) AS bleu
-FROM documents
-"""
+def _bleu_sql() -> str:
+    from dataflow_mm_spark.oracles import metric_oracle as MO
+
+    consts = [MO.bleu_method1(r, h) for r, h in _BLEU_PAIRS]
+    return (
+        "SELECT doc_id, round("
+        + _sql_const_case("CAST(doc_id % 16 AS INT)", consts)
+        + ", 6) AS bleu FROM documents"
+    )
 
 
-# cn_tn number-reading fixtures: residue-selected numeric tokens with
-# hand-pinned Mandarin readings (same constants-oracle pattern as WER/ROUGE)
-_CN_TOKENS = ["0", "10", "105", "120034", "1005000", "3.14", "-42", "12%"]
-_CN_READINGS = ["零", "十", "一百零五", "十二万零三十四", "一百万五千",
-                "三点一四", "负四十二", "百分之十二"]
+DOCS_BLEU_SQL = _bleu_sql()
+
+
+# cn_tn fixtures: 20 residue-selected tokens — cardinals through the 亿/万亿
+# groups with interior zeros, decimals, percent, negatives, dates (年/月/日)
+# and latin unit suffixes — with HAND-pinned Mandarin readings derived from
+# the public reading rules (functions/cn_norm.py module docstring states the
+# group-frame 零 convention the pins follow).
+_CN_TOKENS = [
+    "0", "10", "105", "120034", "1005000", "3.14", "-42", "12%",
+    "100034567", "205000000", "10000000000", "7000000000000",
+    "2024年", "3月", "15日", "2024年3月15日",
+    "5kg", "10km", "25℃", "0.5%",
+]
+_CN_READINGS = [
+    "零", "十", "一百零五", "十二万零三十四", "一百万五千",
+    "三点一四", "负四十二", "百分之十二",
+    "一亿零三万四千五百六十七", "二亿零五百万", "一百亿", "七万亿",
+    "二零二四年", "三月", "十五日", "二零二四年三月十五日",
+    "五千克", "十千米", "二十五摄氏度", "百分之零点五",
+]
 
 
 def docs_cn_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 TextNormalizer, cn_tn engine subset: Mandarin number reading
-    embedded in text (共<N>条), checked against hand-pinned readings."""
+    """P3 TextNormalizer, cn_tn engine subset: Mandarin number/date/unit
+    reading embedded in text (共<N>条), checked against hand-pinned
+    readings over 20 token shapes."""
     from dataflow_mm_spark.functions.cn_norm import cn_normalize_numbers
 
+    n = len(_CN_TOKENS)
     tok = F.element_at(
         F.array(*[F.lit(s) for s in _CN_TOKENS]),
-        (F.col("doc_id") % 8 + 1).cast("int"),
+        (F.col("doc_id") % n + 1).cast("int"),
     )
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.lit("共"), tok, F.lit("条")).alias("_t")
@@ -821,7 +887,7 @@ def docs_cn_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOCS_CN_SQL = (
     "SELECT doc_id, '共' || (["
     + ", ".join(f"'{r}'" for r in _CN_READINGS)
-    + "])[CAST(doc_id % 8 AS INT) + 1] || '条' AS norm FROM documents"
+    + f"])[CAST(doc_id % {len(_CN_TOKENS)} AS INT) + 1] || '条' AS norm FROM documents"
 )
 
 

@@ -84,6 +84,37 @@ def test_reward_parity(spark):
     )
 
 
+def test_metric_kernels_match_independent_oracle():
+    """Engine metric kernels (functions/evaluate.py) vs the independent
+    reference implementations (oracles/metric_oracle.py — full-matrix DP,
+    separate-P/R n-gram counting, literal BLEU formula) over the driver-gate
+    fixture families AND 200 randomized word sequences. This is the guard the
+    widened constant oracles stand on."""
+    import random
+
+    from dataflow_mm_spark.functions import evaluate as E
+    from dataflow_mm_spark.oracles import metric_oracle as MO
+    from dataflow_mm_spark.plans.registry import _BLEU_PAIRS, _FF_PAIRS, _OCR_PAIRS
+
+    for r, h in _OCR_PAIRS:
+        assert math.isclose(
+            max(0.0, min(1.0, 1 - E._wer(r, h))), MO.ocr_reward(r, h), abs_tol=1e-12
+        ), (r, h)
+    for r, h in _FF_PAIRS:
+        assert math.isclose(E.rouge_mean(r, h), MO.rouge_mean(r, h), abs_tol=1e-12), (r, h)
+    for r, h in _BLEU_PAIRS:
+        assert math.isclose(E.bleu(r, h), MO.bleu_method1(r, h), abs_tol=1e-12), (r, h)
+
+    rng = random.Random(17)
+    vocab = ["a", "b", "c", "dd", "e9", "naïve", "x", ""]
+    for _ in range(200):
+        r = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12)))
+        h = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12)))
+        assert math.isclose(E._wer(r, h), MO.wer(r, h), abs_tol=1e-12), (r, h)
+        assert math.isclose(E.rouge_mean(r, h), MO.rouge_mean(r, h), abs_tol=1e-12), (r, h)
+        assert math.isclose(E.bleu(r, h), MO.bleu_method1(r, h), abs_tol=1e-12), (r, h)
+
+
 def test_corpus_mean_reward(spark):
     pdf = pd.DataFrame(
         {
