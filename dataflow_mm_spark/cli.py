@@ -9,7 +9,9 @@ Packaging (north rule: ``spark-submit --py-files``):
         --checkpoint s3://bucket/ck --watermark "10 minutes" --continuous
 
 Jobs: turns (dedup + quality enrich), windows (tumbling agg), cep (pattern
-events), sessions (session_window agg). ``--continuous`` keeps the stream
+events), sessions (session_window agg), neardup (MinHash candidates),
+context (prev-turn join), merge (size-capped span merge, W6 merge mode).
+``--continuous`` keeps the stream
 running with a processing-time trigger; default drains available input and
 exits (availableNow). Re-running with the same --checkpoint resumes from the
 recorded offsets with the exactly-once sink guaranteeing no duplicates.
@@ -28,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     p = argparse.ArgumentParser(description="dataflow-mm-spark streaming jobs")
-    p.add_argument("--job", choices=["turns", "windows", "cep", "sessions", "neardup", "context"],
+    p.add_argument("--job", choices=["turns", "windows", "cep", "sessions", "neardup",
+                                     "context", "merge"],
                    required=True)
     p.add_argument("--input", required=True, help="parquet dir / table path")
     p.add_argument("--output", required=True, help="sink dir")
@@ -80,6 +83,8 @@ def main() -> None:
         )
     elif args.job == "neardup":
         q, _ = jobs.neardup_pipeline(**common)
+    elif args.job == "merge":
+        q, _ = jobs.merge_spans_pipeline(close_gap=args.gap, **common)
     elif args.job == "context":
         q, _ = jobs.context_pipeline(
             spark=spark, input_path=args.input, out_dir=args.output,

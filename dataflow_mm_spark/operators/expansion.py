@@ -39,6 +39,31 @@ def explode_spans(
     )
 
 
+def greedy_merge_spans(
+    pairs, max_duration: float
+) -> list[tuple[int, float, float, int]]:
+    """The single-source greedy core shared by the batch operator below and
+    the streaming form (streaming/merge.py): sort spans by (start, end),
+    accumulate while merged duration (end - first.start) ≤ max_duration,
+    else cut a new sequence. Returns [(sequence_num, start, end, n_spans)]."""
+    out: list[tuple[int, float, float, int]] = []
+    seq = -1
+    cur_start = cur_end = None
+    n = 0
+    for s, e in sorted(pairs, key=lambda p: (p[0], p[1])):
+        if cur_start is not None and (e - cur_start) <= max_duration:
+            cur_end = max(cur_end, e)
+            n += 1
+        else:
+            if cur_start is not None:
+                out.append((seq, cur_start, cur_end, n))
+            seq += 1
+            cur_start, cur_end, n = s, e, 1
+    if cur_start is not None:
+        out.append((seq, cur_start, cur_end, n))
+    return out
+
+
 def merge_spans_capped(
     df: DataFrame,
     key_cols: tuple[str, ...] = ("conv_id",),
@@ -52,7 +77,8 @@ def merge_spans_capped(
     (keys..., sequence_num, merged_start, merged_end, n_spans).
 
     Cumulative cut rule → ordered applyInPandas per key (the reference runs
-    the same loop per row in a process pool)."""
+    the same loop per row in a process pool). The streaming stateful form is
+    streaming/merge.py:merge_spans_stream — same greedy core, parity-tested."""
     # key columns keep their INPUT types (a long user_id key must not be
     # declared string — Arrow would fail the batch at runtime)
     in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -62,23 +88,13 @@ def merge_spans_capped(
     )
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([start_col, end_col])
-        rows = []
-        seq = -1
-        cur_start = cur_end = None
-        n = 0
         keys = [pdf[k].iloc[0] for k in key_cols]
-        for s, e in zip(pdf[start_col], pdf[end_col]):
-            if cur_start is not None and (e - cur_start) <= max_duration:
-                cur_end = max(cur_end, e)
-                n += 1
-            else:
-                if cur_start is not None:
-                    rows.append([*keys, seq, cur_start, cur_end, n])
-                seq += 1
-                cur_start, cur_end, n = s, e, 1
-        if cur_start is not None:
-            rows.append([*keys, seq, cur_start, cur_end, n])
+        rows = [
+            [*keys, seq, s, e, n]
+            for seq, s, e, n in greedy_merge_spans(
+                zip(pdf[start_col], pdf[end_col]), max_duration
+            )
+        ]
         return pd.DataFrame(
             rows,
             columns=[*key_cols, "sequence_num", "merged_start", "merged_end", "n_spans"],

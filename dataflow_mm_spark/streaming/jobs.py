@@ -204,6 +204,34 @@ def neardup_pipeline(
     return q, sink
 
 
+def merge_spans_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    close_gap: str = "30 minutes",
+    max_duration: float = 30.0,
+    available_now: bool = True,
+):
+    """W6 merge mode, streaming form: size-capped span merge per conversation
+    (streaming/merge.py), parity-tested against the batch
+    operators.expansion.merge_spans_capped. Input: parquet rows
+    (conv_id, span_start, span_end, ts)."""
+    from dataflow_mm_spark.streaming.merge import merge_spans_stream
+
+    schema = "conv_id string, span_start double, span_end double, ts timestamp"
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(input_path)
+        .withWatermark("ts", watermark)
+    )
+    merged = merge_spans_stream(raw, close_gap=close_gap, max_duration=max_duration)
+    sink = ExactlyOnceParquetSink(out_dir)
+    q = _start(merged, sink, checkpoint, available_now)
+    return q, sink
+
+
 def sessionized_pipeline(
     spark: SparkSession,
     input_path: str,

@@ -114,6 +114,50 @@ def test_cep_stream_matches_batch(spark, tmp_path, bucketed):
         assert d["n_turns"] >= 1 and d["n_pending"] == 0
 
 
+def test_merge_spans_stream_matches_batch(spark, tmp_path):
+    """W6 merge mode: the streaming size-capped session merge must emit the
+    SAME merged sequences as the batch operator over the same spans — the
+    same parity contract CEP holds against its batch twin."""
+    import random
+
+    from dataflow_mm_spark.operators import expansion as E
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    base = dt.datetime(2025, 5, 1)
+    rng = random.Random(7)
+    rows = []
+    for c in range(30):
+        t0 = base + dt.timedelta(minutes=c)
+        cur = 0.0
+        for i in range(rng.randrange(1, 12)):
+            s = round(cur + rng.random() * 10, 3)
+            e = round(s + rng.random() * 25, 3)
+            cur = e
+            rows.append((f"conv-{c}", s, e, t0 + dt.timedelta(seconds=i)))
+    schema = "conv_id string, span_start double, span_end double, ts timestamp"
+    df = spark.createDataFrame(rows, schema)
+    # shuffled file layout = out-of-order arrival within each conversation
+    df.repartition(4).write.mode("overwrite").parquet(inp)
+    spark.createDataFrame(
+        [("conv-sentinel", 0.0, 1.0, SENTINEL_TS)], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    q, sink = jobs.merge_spans_pipeline(spark, inp, out, ckpt, max_duration=30.0)
+    q.awaitTermination(300)
+    got = {
+        (r.conv_id, r.sequence_num, r.merged_start, r.merged_end, r.n_spans)
+        for r in sink.read_committed(spark)
+        .filter(F.col("conv_id") != "conv-sentinel")
+        .collect()
+    }
+    want = {
+        (r.conv_id, r.sequence_num, r.merged_start, r.merged_end, r.n_spans)
+        for r in E.merge_spans_capped(df, key_cols=("conv_id",), max_duration=30.0)
+        .collect()
+    }
+    assert got == want and len(got) > 30  # multiple sequences per conv exist
+
+
 def test_checkpoint_resume_exactly_once(spark, tmp_path):
     inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
     df1 = transcripts(spark, n_convs=20, seed=42)
