@@ -48,25 +48,66 @@ def prompted_generator(
     prompt_col: str = "prompt",
     output_col: str = "answer",
     batch_size: int = 32,
+    concurrency: int = 8,
+    max_retries: int = 3,
+    backoff_base: float = 0.25,
 ) -> DataFrame:
     """G1 PromptedQAGenerator: prompt column → answer column. The serving
     client is constructed once per partition (connection reuse), prompts go
-    out in ``batch_size`` groups (reference default 32,
-    batch_wrapper.py:28)."""
+    out in ``batch_size`` groups (reference default 32, batch_wrapper.py:28)
+    with up to ``concurrency`` batches IN FLIGHT per partition — the
+    executor-side analogue of the reference's driver-side
+    ThreadPoolExecutor(max_workers=10) HTTP fan-out
+    (api_llm_serving_request.py:111-160). For API-bound serving this is the
+    difference between saturating an endpoint and idling executors: total
+    concurrency = partitions x ``concurrency``, so size it against the
+    endpoint's rate limit. The serving callable must be thread-safe (the
+    reference shares one HTTP session across its pool the same way).
+
+    Order is preserved: batch results are gathered in submit order, so
+    answers stay aligned with their rows. A failed batch retries with
+    exponential backoff (``backoff_base * 2^attempt``) up to ``max_retries``
+    times, then raises — failing the Spark task (task-level retry/replay is
+    the outer safety net)."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
     factory = serving_factory or (lambda: fake_serving)
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     out_schema = f"{fields}, {output_col} string"
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         serving = factory()
-        for pdf in it:
-            prompts = pdf[prompt_col].fillna("").tolist()
-            answers: list[str] = []
-            for i in range(0, len(prompts), batch_size):
-                answers += serving(prompts[i : i + batch_size])
-            pdf = pdf.copy()
-            pdf[output_col] = answers
-            yield pdf
+
+        def call(batch: list[str]) -> list[str]:
+            delay = backoff_base
+            for attempt in range(max_retries + 1):
+                try:
+                    out = serving(batch)
+                    if len(out) != len(batch):
+                        raise ValueError(
+                            f"serving returned {len(out)} answers for "
+                            f"{len(batch)} prompts"
+                        )
+                    return out
+                except Exception:
+                    if attempt == max_retries:
+                        raise
+                    time.sleep(delay)
+                    delay *= 2
+
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
+            for pdf in it:
+                prompts = pdf[prompt_col].fillna("").tolist()
+                batches = [
+                    prompts[i : i + batch_size]
+                    for i in range(0, len(prompts), batch_size)
+                ]
+                # pool.map gathers in submit order — ordinal-correct answers
+                answers = [a for out in pool.map(call, batches) for a in out]
+                pdf = pdf.copy()
+                pdf[output_col] = answers
+                yield pdf
 
     return df.mapInPandas(gen, out_schema)
 
