@@ -27,7 +27,11 @@ from dataflow_mm_spark.operators import (
     windows,
 )
 
-#: reference class name → engine function (the Spark-first re-expression)
+#: reference class name → engine function (the Spark-first re-expression).
+#: Every name here is COMPLETE: either pure relational/Arrow semantics, or a
+#: serving-shaped generator whose external endpoint is an explicit argument
+#: (the reference likewise calls an HTTP API for these —
+#: dataflow/serving/api_llm_serving_request.py).
 OPERATOR_REGISTRY: dict[str, Callable] = {
     # prep / refine
     "Conversation2Message": conversation.assemble_messages,
@@ -37,31 +41,57 @@ OPERATOR_REGISTRY: dict[str, Callable] = {
     "CNTextNormalizer": cn_norm.cn_normalize_numbers,
     "WikiQARefiner": extraction.parse_qa_blocks,
     "MCTSTreeRefiner": trees.mcts_chain_rows,
-    "VisualDependencyRefinerRule": generate.batch_list_generator,
+    "VisualDependencyRefiner": generate.batch_list_generator,
+    "VisualDependencyRefinerRule": generate.batch_list_generator,  # legacy alias
+    "VisualGroundingRefiner": generate.batch_list_generator,
     # filters
     "RuleBaseFilter": quality.rule_base_filter,
     "ScoreFilter": filters.score_filter,
-    "VideoClipScoreFilter": filters.nested_clip_filter,
-    "CTCAlignmentFilter": filters.span_score_filter,
+    "VideoScoreFilter": filters.nested_clip_filter,
+    "VideoClipScoreFilter": filters.nested_clip_filter,  # legacy alias
+    "CTCForcedAlignmentFilter": filters.span_score_filter,
+    "CTCAlignmentFilter": filters.span_score_filter,  # legacy alias
     "FailRateFilter": generate.rollout_and_judge,
+    "VisionDependentFilter": generate.rollout_and_judge,
+    "VideoResolutionFilter": filters.range_filter,
+    "VideoInfoFilter": filters.range_filter,
     # dedup / selection
     "ImageDeduplicateFilter": dedup.minhash_lsh_dedup,
     "ImageDiversityFilter": dedup.joint_neardup_dedup,
+    "ImageDuplicateFilter": dedup.simhash_neardup_pairs,
+    "TextDuplicateFilter": dedup.ngram_jaccard_dedup,
     "KNNSimilarityFilter": similarity.knn_avg_similarity,
     "DataTailorFilter": topk.datatailor_select,
     # eval
     "GeneralTextAnswerEvaluator": evaluate.with_reward,
-    # generators
+    # generators (serving endpoint = explicit argument, like the reference)
     "PromptedQAGenerator": generate.prompted_generator,
+    "PromptedVQAGenerator": generate.prompted_generator,
+    "PromptedAQAGenerator": generate.prompted_generator,
+    "PromptedImageGenerator": generate.prompted_generator,
+    "PromptedImageEditGenerator": generate.prompted_generator,
+    "EvalImageGenerationGenerator": generate.prompted_generator,
+    "VLMBBoxGenerator": generate.prompted_generator,
+    "PersQAGenerator": generate.prompted_generator,
+    "MultimodalMathGenerator": generate.prompted_generator,
+    "VideoCOTQAGenerator": generate.prompted_generator,
+    "VideoCaptionToQAGenerator": generate.prompted_generator,
+    "VideoToCaptionGenerator": generate.prompted_generator,
+    "VideoMergedCaptionGenerator": generate.prompted_generator,
+    "VisualReasoningGenerator": generate.prompted_generator,
     "PromptTemplatedQAGenerator": generate.templated_generator,
+    "PromptTemplatedVQAGenerator": generate.templated_generator,
+    "FixPromptedVQAGenerator": generate.templated_generator,
     "BatchVQAGenerator": generate.batch_list_generator,
     # segmentation / windows
     "VideoSceneFilter": windows.tumbling_agg,
     "SileroVADGenerator": windows.session_agg_batch,
     "TimestampChunkRowGenerator": expansion.merge_spans_capped,
     "VideoFrameSampler": expansion.sample_points,
+    "VideoClipGenerator": expansion.explode_nested_clips,
     # multimodal plumbing
-    "VisionSegCutout": multimodal.decode_and_featurize,
+    "VisionSegCutoutRefiner": multimodal.decode_and_featurize,
+    "VisionSegCutout": multimodal.decode_and_featurize,  # legacy alias
     # text analysis
     "LanguageIDScorer": textanalysis.lang_guess,
     "QualityScorer": textanalysis.quality_score,
@@ -71,15 +101,75 @@ OPERATOR_REGISTRY: dict[str, Callable] = {
     "ToolCallPairingFilter": cep.tool_pairing,
 }
 
+#: reference names whose SPARK side (schema, partitioning, UDF batch shape,
+#: threshold filter) is implemented and tested, but whose scoring kernel is a
+#: LOCAL model / codec the sandbox cannot ship (CLIP, NLI, CTC, aesthetic
+#: predictors, OCR, cv2 frame decode). Value = (pattern function to build on,
+#: what the user must supply). Resolving one of these raises
+#: NeedsModelKernel — deliberately distinct from the typo KeyError.
+MODEL_KERNEL_REGISTRY: dict[str, tuple[Callable, str]] = {
+    "CLIPScoreFilter": (filters.score_filter, "CLIP image-text score UDF"),
+    "ImageClipFilter": (filters.score_filter, "CLIP image-text score UDF"),
+    "ImageCLIPEvaluator": (filters.score_filter, "CLIP image-text score UDF"),
+    "ImageLongCLIPEvaluator": (filters.score_filter, "LongCLIP score UDF"),
+    "ImageVQAScoreEvaluator": (filters.score_filter, "VQAScore model UDF"),
+    "ImageAestheticFilter": (filters.range_filter, "aesthetic-predictor UDF"),
+    "CatFilter": (filters.score_filter, "category-classifier UDF"),
+    "ImageCatFilter": (filters.score_filter, "category-classifier UDF"),
+    "ImageComplexityFilter": (filters.range_filter, "complexity-scorer UDF"),
+    "ImageConsistencyFilter": (filters.score_filter, "NLI/consistency UDF"),
+    "ImageSensitiveFilter": (filters.score_filter, "safety-classifier UDF"),
+    "ImageBboxGenerator": (
+        multimodal.decode_and_featurize, "detection-model kernel"),
+    "VideoAestheticEvaluator": (filters.range_filter, "aesthetic UDF over frames"),
+    "VideoAestheticFilter": (filters.range_filter, "aesthetic UDF over frames"),
+    "VideoLuminanceEvaluator": (
+        multimodal.decode_and_featurize, "frame-decode (cv2) kernel"),
+    "VideoLuminanceFilter": (
+        multimodal.decode_and_featurize, "frame-decode (cv2) kernel"),
+    "VideoOCREvaluator": (filters.score_filter, "OCR-model UDF"),
+    "VideoOCRFilter": (filters.score_filter, "OCR-model UDF"),
+    "VideoClipFilter": (filters.nested_clip_filter, "CLIP score UDF per clip"),
+    "VideoMotionScoreFilter": (
+        multimodal.decode_and_featurize, "frame-decode + optical-flow kernel"),
+    "VideoFrameFilter": (
+        multimodal.decode_and_featurize, "frame-decode (cv2) kernel"),
+    "CTCForcedAlignmentSampleEvaluator": (
+        filters.span_score_filter, "CTC forced-alignment model kernel"),
+}
 
-def get_operator(name: str) -> Callable:
-    """Resolve a reference operator name; unknown names raise with
-    close-match suggestions (the reference's fuzzy lookup UX)."""
+
+class NeedsModelKernel(LookupError):
+    """The name is a KNOWN reference operator whose Spark plumbing exists,
+    but a model/codec kernel must be supplied — not a typo."""
+
+    def __init__(self, name: str, pattern: Callable, supply: str):
+        self.pattern = pattern
+        self.supply = supply
+        super().__init__(
+            f"operator {name!r} needs a model kernel this engine does not "
+            f"ship: supply a {supply}, then build on "
+            f"{pattern.__module__}.{pattern.__name__} (see README §model "
+            "kernels)"
+        )
+
+
+def get_operator(name: str, allow_patterns: bool = False) -> Callable:
+    """Resolve a reference operator name; unknown names raise KeyError with
+    close-match suggestions (the reference's fuzzy lookup UX); known names
+    whose kernel is user-supplied raise NeedsModelKernel (or return the
+    pattern function when ``allow_patterns=True``)."""
     if name in OPERATOR_REGISTRY:
         return OPERATOR_REGISTRY[name]
-    ci = {k.lower(): v for k, v in OPERATOR_REGISTRY.items()}
+    if name in MODEL_KERNEL_REGISTRY:
+        pattern, supply = MODEL_KERNEL_REGISTRY[name]
+        if allow_patterns:
+            return pattern
+        raise NeedsModelKernel(name, pattern, supply)
+    every = {**OPERATOR_REGISTRY, **MODEL_KERNEL_REGISTRY}
+    ci = {k.lower(): k for k in every}
     if name.lower() in ci:
-        return ci[name.lower()]
-    close = difflib.get_close_matches(name, OPERATOR_REGISTRY.keys(), n=3, cutoff=0.5)
+        return get_operator(ci[name.lower()], allow_patterns)
+    close = difflib.get_close_matches(name, every.keys(), n=3, cutoff=0.5)
     hint = f" — did you mean {', '.join(close)}?" if close else ""
     raise KeyError(f"unknown operator {name!r}{hint}")

@@ -112,6 +112,73 @@ def jdbc_read(
     return r.load()
 
 
+def warehouse_rows(
+    df: DataFrame,
+    pipeline_id: str,
+    task_id: str,
+    raw_data_id_col: str | None = None,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Shape a DataFrame into the reference warehouse row schema
+    ``(pipeline_id, task_id, raw_data_id, min_hashes, data)``
+    (MyScaleDBStorage.write, reference dataflow/utils/storage.py:389-432):
+    ``data`` = the whole row as a JSON string, ``raw_data_id`` = the given
+    column (the reference reads ``sys:raw_data_id`` from the payload,
+    defaulting 0), ``min_hashes`` = a real MinHash signature of the payload
+    (the reference stubs this to ``[0]`` — storage.py:290-291) so warehouse-
+    side near-dup lookups work. Pure transform — unit-testable without a
+    warehouse; ``jdbc_write`` is the thin writer on top."""
+    from pyspark.sql import functions as F
+
+    from dataflow_mm_spark.functions.dedup import minhash_signature
+
+    data = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    raw_id = (
+        F.col(raw_data_id_col).cast("long")
+        if raw_data_id_col
+        else F.lit(0).cast("long")
+    )
+    return df.select(
+        F.lit(pipeline_id).alias("pipeline_id"),
+        F.lit(task_id).alias("task_id"),
+        raw_id.alias("raw_data_id"),
+        minhash_signature(data, num_hashes=num_hashes).alias("min_hashes"),
+        data.alias("data"),
+    )
+
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    pipeline_id: str,
+    task_id: str,
+    mode: str = "append",
+    raw_data_id_col: str | None = None,
+    batchsize: int = 10_000,
+    _format: str = "jdbc",
+    **options,
+) -> None:
+    """Warehouse write (MyScaleDBStorage.write analogue): every row lands as
+    ``(pipeline_id, task_id, raw_data_id, min_hashes, data)``. Executors
+    write their partitions in parallel (``batchsize`` rows per INSERT) —
+    no driver-side collect. ``_format`` exists for the fake-JDBC contract
+    test (no JDBC driver ships in this sandbox): the test swaps in
+    ``parquet`` + a ``path`` option and verifies the exact row shape through
+    the same writer path."""
+    out = warehouse_rows(df, pipeline_id, task_id, raw_data_id_col)
+    w = out.write.format(_format).mode(mode)
+    if _format == "jdbc":
+        w = (
+            w.option("url", url)
+            .option("dbtable", table)
+            .option("batchsize", str(batchsize))
+        )
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save()
+
+
 class StepStorage:
     """FileStorage-compatible step rhythm for migrating pipelines:
     ``read() → transform → write(df)`` with a step counter; every step is a
