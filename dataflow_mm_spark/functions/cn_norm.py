@@ -4,8 +4,10 @@ selects engine='cn_tn', a ~1200-line TTS text-normalization module). This
 module re-implements, from the public rules of Chinese number reading (not
 the reference code), the deterministic subset an ASR/TTS transcript pipeline
 hits most: cardinal integers, decimals, percentages and signed numbers spoken
-in Mandarin. Dates/phone-numbers/units beyond this are intentionally out of
-scope (documented partial).
+in Mandarin, plus dates (年), latin unit suffixes and phone numbers (mobile
+``1[3-9]``+9 digits and dashed landlines, digit-by-digit with 幺). Idioms,
+fractions and full-width digit forms remain out of scope (documented
+partial).
 
 Reading rules implemented:
 * digits 0-9 → 零一二三四五六七八九; positions 十百千, groups 万/亿/万亿
@@ -102,12 +104,22 @@ _UNIT_READINGS = {
 }
 
 
+def read_phone(s: str) -> str:
+    """Phone-number reading: digit-by-digit with 1 → 幺 (the spoken-Mandarin
+    telephone convention, cn_tn TelePhone analogue); dashes are silent."""
+    return "".join("幺" if c == "1" else _DIGITS[int(c)] for c in s if c != "-")
+
+
 def read_number(token: str) -> str:
     """Reading of a matched numeric token:
-    ``DDDD年`` (year, digit-by-digit) or ``[-]digits[.digits][%|unit]``."""
+    ``DDDD年`` (year, digit-by-digit), a phone number (mobile ``1[3-9]``+9
+    digits or dashed landline, digit-by-digit with 幺), or
+    ``[-]digits[.digits][%|unit]``."""
     t = token
     if t.endswith("年"):  # 4-digit year — matched only as \d{4}年
         return read_digits(t[:-1]) + "年"
+    if _PHONE_RE.fullmatch(t):
+        return read_phone(t)
     prefix = ""
     if t.startswith("-"):
         prefix, t = "负", t[1:]
@@ -131,7 +143,13 @@ def read_number(token: str) -> str:
     return prefix + body + unit
 
 
-_NUM_RE = re.compile(r"\d{4}年|-?\d+(?:\.\d+)?(?:%|kg|km|cm|mm|℃)?")
+_PHONE_RE = re.compile(r"1[3-9]\d{9}|0\d{2,3}-\d{7,8}")
+_NUM_RE = re.compile(
+    r"\d{4}年"
+    r"|(?<!\d)1[3-9]\d{9}(?!\d)"          # mobile
+    r"|(?<!\d)0\d{2,3}-\d{7,8}(?!\d)"     # dashed landline
+    r"|-?\d+(?:\.\d+)?(?:%|kg|km|cm|mm|℃)?"
+)
 
 
 def cn_normalize_numbers_py(text: str | None) -> str | None:

@@ -80,6 +80,191 @@ def whisper_en_normalize(text: Column) -> Column:
     return F.trim(t)
 
 
+# ---------------------------------------------------------------------------
+# English number-word engine (Whisper EnglishNumberNormalizer analogue —
+# audio_text_normalizer.py:7 wraps the public whisper_normalizer package).
+# Independent implementation of the public word→digit semantics, covering the
+# deterministic core: cardinals ("five hundred twenty three" → 523) with
+# hundred/thousand/million/billion/trillion groups and "and"-linking,
+# ordinals ("twenty first" → 21st), and decimal "point" digit runs
+# ("three point one four" → 3.14). Documented out of scope (rare in
+# transcripts, ambiguous without context): year pairing ("nineteen eighty
+# four" stays "19 84"), "a hundred", "double/triple oh", fractions and
+# currency folding. Input is expected post-whisper_en_normalize (lowercase,
+# punctuation stripped); a maximal run of number words converts per run.
+# ---------------------------------------------------------------------------
+
+_NUM_UNITS = {
+    "zero": 0, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+    "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
+    "twelve": 12, "thirteen": 13, "fourteen": 14, "fifteen": 15,
+    "sixteen": 16, "seventeen": 17, "eighteen": 18, "nineteen": 19,
+}
+_NUM_TENS = {
+    "twenty": 20, "thirty": 30, "forty": 40, "fifty": 50,
+    "sixty": 60, "seventy": 70, "eighty": 80, "ninety": 90,
+}
+_NUM_SCALES = {
+    "thousand": 10**3, "million": 10**6,
+    "billion": 10**9, "trillion": 10**12,
+}
+# ordinal word → (value, kind); kind mirrors the cardinal combination class
+_ORD_UNITS = {
+    "first": 1, "second": 2, "third": 3, "fourth": 4, "fifth": 5,
+    "sixth": 6, "seventh": 7, "eighth": 8, "ninth": 9, "tenth": 10,
+    "eleventh": 11, "twelfth": 12, "thirteenth": 13, "fourteenth": 14,
+    "fifteenth": 15, "sixteenth": 16, "seventeenth": 17, "eighteenth": 18,
+    "nineteenth": 19,
+}
+_ORD_TENS = {
+    "twentieth": 20, "thirtieth": 30, "fortieth": 40, "fiftieth": 50,
+    "sixtieth": 60, "seventieth": 70, "eightieth": 80, "ninetieth": 90,
+}
+_ORD_SCALES = {"hundredth": 100, "thousandth": 10**3, "millionth": 10**6,
+               "billionth": 10**9, "trillionth": 10**12}
+
+_NUMBER_WORDS = (
+    set(_NUM_UNITS) | set(_NUM_TENS) | set(_NUM_SCALES) | {"hundred"}
+    | set(_ORD_UNITS) | set(_ORD_TENS) | set(_ORD_SCALES) | {"point"}
+)
+
+
+def _ordinal_suffix(n: int) -> str:
+    if n % 100 in (11, 12, 13):
+        return "th"
+    return {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
+
+
+def _unit_fits(group: int, v: int) -> bool:
+    """Can a 0-19 cardinal extend the current <1000 group?"""
+    if v < 10:
+        return group % 10 == 0 and group % 100 != 10
+    return group % 100 == 0
+
+
+def _try_number(toks: list[str], i: int):
+    """Parse a maximal number-word run starting at toks[i].
+    Returns (rendered_string | None, next_index)."""
+    total, group = 0, 0
+    started, ordinal, zero_only = False, False, False
+    frac: str | None = None
+    min_scale_used = None
+    j, pending_and = i, None
+    while j < len(toks):
+        w = toks[j]
+        if zero_only and w != "point":
+            break  # "zero" combines with nothing but a decimal point
+        if w == "and" and started and pending_and is None:
+            if j + 1 < len(toks) and toks[j + 1] in _NUMBER_WORDS:
+                pending_and = j
+                j += 1
+                continue
+            break
+        consumed = False
+        if w in _NUM_UNITS:
+            v = _NUM_UNITS[w]
+            if not started:
+                group, started, consumed = v, True, True
+                zero_only = v == 0
+            elif v != 0 and _unit_fits(group, v):
+                group, consumed = group + v, True
+        elif w in _NUM_TENS:
+            if not started or group % 100 == 0:
+                group, started, consumed = group + _NUM_TENS[w], True, True
+        elif w == "hundred":
+            if started and 1 <= group <= 9:
+                group, consumed = group * 100, True
+        elif w in _NUM_SCALES:
+            s = _NUM_SCALES[w]
+            if started and group > 0 and (
+                min_scale_used is None or s < min_scale_used
+            ):
+                total += group * s
+                group, min_scale_used, consumed = 0, s, True
+        elif w in _ORD_UNITS:
+            v = _ORD_UNITS[w]
+            if not started or _unit_fits(group, v):
+                group, started, ordinal, consumed = group + v, True, True, True
+        elif w in _ORD_TENS:
+            if not started or group % 100 == 0:
+                group += _ORD_TENS[w]
+                started, ordinal, consumed = True, True, True
+        elif w in _ORD_SCALES:
+            s = _ORD_SCALES[w]
+            if s == 100:
+                if group <= 9:
+                    group = (group or 1) * 100
+                    started, ordinal, consumed = True, True, True
+            elif group >= 0 and (min_scale_used is None or s < min_scale_used):
+                total += (group or 1) * s
+                group, started, ordinal, consumed = 0, True, True, True
+        elif w == "point" and started and frac is None:
+            if (
+                j + 1 < len(toks)
+                and toks[j + 1] in _NUM_UNITS
+                and _NUM_UNITS[toks[j + 1]] < 10
+            ):
+                frac = ""
+                j += 1
+                while (
+                    j < len(toks)
+                    and toks[j] in _NUM_UNITS
+                    and _NUM_UNITS[toks[j]] < 10
+                ):
+                    frac += str(_NUM_UNITS[toks[j]])
+                    j += 1
+                break
+        if not consumed:
+            if pending_and is not None:
+                j = pending_and  # the "and" did not extend the number
+            break
+        pending_and = None
+        j += 1
+        if ordinal:
+            break  # ordinals terminate the run ("twenty first century")
+    if not started:
+        return None, i
+    n = total + group
+    if ordinal:
+        return f"{n}{_ordinal_suffix(n)}", j
+    if frac is not None:
+        return f"{n}.{frac}", j
+    return str(n), j
+
+
+def number_words_to_digits_py(s: str | None) -> str | None:
+    """Python twin (parity oracle + driver-pin derivation)."""
+    if s is None:
+        return None
+    toks = s.split()
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if toks[i] in _NUMBER_WORDS:
+            rendered, j = _try_number(toks, i)
+            if rendered is not None:
+                out.append(rendered)
+                i = j
+                continue
+        out.append(toks[i])
+        i += 1
+    return " ".join(out)
+
+
+@pandas_udf(T.StringType())
+def number_words_to_digits(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized column form. Hot-path note: apply AFTER cheap
+    Catalyst filters and keep other wide columns out of the exchange
+    (CLAUDE.md Arrow rule)."""
+    return texts.map(number_words_to_digits_py)
+
+
+def whisper_en_normalize_full(text: Column) -> Column:
+    """Whisper-EN rule chain + number-word engine (the closest full
+    analogue of the reference's EnglishTextNormalizer this engine ships)."""
+    return number_words_to_digits(whisper_en_normalize(text))
+
+
 def whisper_en_normalize_py(text: str) -> str:
     """Pinned pure-Python oracle for the hypothesis parity suite."""
     import re

@@ -792,6 +792,67 @@ SELECT doc_id, {whisper_en_normalize_sql('t')} AS norm FROM d
 DOCS_WHISPER_SQL = _whisper_sql()
 
 
+# English number-word engine fixtures (Whisper EnglishNumberNormalizer
+# analogue, functions/normalize.py number_words_to_digits): 24 phrase shapes
+# covering hundreds/thousands/millions groups, "and"-linking, ordinals,
+# decimal point runs, zero isolation, and non-number passthrough. Expected
+# strings are HAND-pinned from the public word→digit reading rules — the
+# DuckDB side never runs the kernel.
+_NUMWORD_PHRASES = [
+    "i have twenty three apples", "five hundred twenty three",
+    "one hundred and five dollars", "two thousand and one",
+    "three point one four", "the first of may", "twenty first century",
+    "one million two hundred thirty four thousand five hundred sixty seven",
+    "seven billion people", "zero zero seven", "zero point five",
+    "a hundred times", "sixty six", "twelve thousand", "one hundred twenty",
+    "no numbers here", "four score", "ninety nine point nine",
+    "second place twice", "hundredth anniversary", "three thousandth",
+    "eight hundred and seventy six", "five and six",
+    "one thousand one hundred eleven",
+]
+_NUMWORD_EXPECTED = [
+    "i have 23 apples", "523",
+    "105 dollars", "2001",
+    "3.14", "the 1st of may", "21st century",
+    "1234567",
+    "7000000000 people", "0 0 7", "0.5",
+    "a hundred times", "66", "12000", "120",
+    "no numbers here", "4 score", "99.9",
+    "2nd place twice", "100th anniversary", "3000th",
+    "876", "5 and 6",
+    "1111",
+]
+
+
+def docs_number_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 TextNormalizer, Whisper-EN number-word engine: spelled-out numbers
+    → digits over the 24-phrase fixture family."""
+    from dataflow_mm_spark.functions.normalize import number_words_to_digits
+
+    n = len(_NUMWORD_PHRASES)
+    phrase = F.element_at(
+        F.array(*[F.lit(s) for s in _NUMWORD_PHRASES]),
+        (F.col("doc_id") % n + 1).cast("int"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", phrase.alias("_t"))
+    return docs.select(
+        "doc_id", number_words_to_digits(F.col("_t")).alias("norm")
+    )
+
+
+def _numword_sql() -> str:
+    from dataflow_mm_spark.plans.portable import sql_array
+
+    n = len(_NUMWORD_PHRASES)
+    return (
+        f"SELECT doc_id, ({sql_array(_NUMWORD_EXPECTED)})"
+        f"[CAST(doc_id % {n} AS INT) + 1] AS norm FROM documents"
+    )
+
+
+DOCS_NUMWORD_SQL = _numword_sql()
+
+
 # BLEU fixtures: 16 (ref, hyp) pairs covering brevity-penalty both ways,
 # clipped repeated-token counts, partial n-gram overlap, disjoint and empty
 # strings. Constants derived from oracles/metric_oracle.bleu_method1 (the
@@ -847,9 +908,10 @@ def _bleu_sql() -> str:
 DOCS_BLEU_SQL = _bleu_sql()
 
 
-# cn_tn fixtures: 20 residue-selected tokens — cardinals through the 亿/万亿
-# groups with interior zeros, decimals, percent, negatives, dates (年/月/日)
-# and latin unit suffixes — with HAND-pinned Mandarin readings derived from
+# cn_tn fixtures: 24 residue-selected tokens — cardinals through the 亿/万亿
+# groups with interior zeros, decimals, percent, negatives, dates (年/月/日),
+# latin unit suffixes and phone numbers (mobile/dashed landline, 幺 digit
+# reading) — with HAND-pinned Mandarin readings derived from
 # the public reading rules (functions/cn_norm.py module docstring states the
 # group-frame 零 convention the pins follow).
 _CN_TOKENS = [
@@ -857,6 +919,7 @@ _CN_TOKENS = [
     "100034567", "205000000", "10000000000", "7000000000000",
     "2024年", "3月", "15日", "2024年3月15日",
     "5kg", "10km", "25℃", "0.5%",
+    "13812345678", "021-87654321", "15900001111", "9.99",
 ]
 _CN_READINGS = [
     "零", "十", "一百零五", "十二万零三十四", "一百万五千",
@@ -864,6 +927,8 @@ _CN_READINGS = [
     "一亿零三万四千五百六十七", "二亿零五百万", "一百亿", "七万亿",
     "二零二四年", "三月", "十五日", "二零二四年三月十五日",
     "五千克", "十千米", "二十五摄氏度", "百分之零点五",
+    "幺三八幺二三四五六七八", "零二幺八七六五四三二幺",
+    "幺五九零零零零幺幺幺幺", "九点九九",
 ]
 
 
@@ -1290,6 +1355,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_stats": docs_token_stats,
     "docs_quality_score": docs_quality_score,
     "docs_whisper_normalize": docs_whisper_normalize,
+    "docs_number_words": docs_number_words,
     "docs_cn_numbers": docs_cn_numbers,
     "docs_fingerprint": docs_fingerprint,
     "emb_cosine_topk": emb_cosine_topk,
@@ -1327,6 +1393,7 @@ ORACLES: dict[str, str] = {
     "docs_token_stats": DOCS_TOKEN_SQL,
     "docs_quality_score": DOCS_SCORE_SQL,
     "docs_whisper_normalize": DOCS_WHISPER_SQL,
+    "docs_number_words": DOCS_NUMWORD_SQL,
     "docs_cn_numbers": DOCS_CN_SQL,
     "docs_fingerprint": DOCS_FP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,

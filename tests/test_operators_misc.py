@@ -505,6 +505,11 @@ def test_cn_number_normalization(spark):
         "1005000": "一百万五千", "10500000": "一千零五十万",
         "100000001": "一亿零一", "3.14": "三点一四",
         "-42": "负四十二", "12%": "百分之十二", "-2.5%": "负百分之二点五",
+        # phones: digit-by-digit with 幺; 11-digit runs NOT starting 1[3-9]
+        # stay cardinals
+        "13812345678": "幺三八幺二三四五六七八",
+        "021-87654321": "零二幺八七六五四三二幺",
+        "10000000000": "一百亿",
     }
     for tok, want in pinned.items():
         assert read_number(tok) == want, tok

@@ -133,3 +133,58 @@ def test_whisper_normalize_property_parity(spark, corpus):
     }
     want = {i: whisper_en_normalize_py(t) for i, t in zip(pdf.id, pdf.text)}
     assert got == want
+
+
+# English number-word engine: pinned readings (hand-derived from the public
+# word->digit rules, same pins as the docs_number_words driver oracle) +
+# a property run over random number-word soup asserting Spark == python twin.
+_numword_alphabet = st.sampled_from(
+    ["one", "two", "nine", "ten", "nineteen", "twenty", "ninety", "hundred",
+     "thousand", "million", "and", "point", "zero", "first", "twelfth",
+     "twentieth", "hundredth", "apples", "the", "score"]
+)
+numword_texts = st.lists(_numword_alphabet, min_size=0, max_size=12).map(" ".join)
+
+
+def test_number_words_pinned_readings():
+    from dataflow_mm_spark.functions.normalize import number_words_to_digits_py
+    from dataflow_mm_spark.plans.registry import (
+        _NUMWORD_EXPECTED,
+        _NUMWORD_PHRASES,
+    )
+
+    for phrase, want in zip(_NUMWORD_PHRASES, _NUMWORD_EXPECTED):
+        assert number_words_to_digits_py(phrase) == want, phrase
+    # extra edges beyond the driver family
+    f = number_words_to_digits_py
+    assert f("") == ""
+    assert f(None) is None
+    assert f("five hundred thousand and one") == "500001"
+    assert f("thirty and forty") == "30 and 40"
+    assert f("eleven twelve") == "11 12"
+    assert f("seven trillion") == "7000000000000"
+    # ascending scales split the run: "two thousand three" reads greedily,
+    # the dangling "million" passes through
+    assert f("two thousand three million") == "2003 million"
+    assert f("ninety ninth") == "99th"
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(numword_texts, min_size=1, max_size=20))
+@example(["one hundred and", "and one", "point one", "zero zero seven",
+          "twenty first hundred", "million"])
+def test_number_words_property_parity(spark, corpus):
+    from dataflow_mm_spark.functions.normalize import (
+        number_words_to_digits,
+        number_words_to_digits_py,
+    )
+
+    pdf = pd.DataFrame({"id": range(len(corpus)), "text": corpus})
+    got = {
+        r.id: r.n
+        for r in spark.createDataFrame(pdf)
+        .select("id", number_words_to_digits(F.col("text")).alias("n"))
+        .collect()
+    }
+    want = {i: number_words_to_digits_py(t) for i, t in zip(pdf.id, pdf.text)}
+    assert got == want
