@@ -4,10 +4,10 @@ selects engine='cn_tn', a ~1200-line TTS text-normalization module). This
 module re-implements, from the public rules of Chinese number reading (not
 the reference code), the deterministic subset an ASR/TTS transcript pipeline
 hits most: cardinal integers, decimals, percentages and signed numbers spoken
-in Mandarin, plus dates (年), latin unit suffixes and phone numbers (mobile
-``1[3-9]``+9 digits and dashed landlines, digit-by-digit with 幺). Idioms,
-fractions and full-width digit forms remain out of scope (documented
-partial).
+in Mandarin, plus dates (年), latin unit suffixes, phone numbers (mobile
+``1[3-9]``+9 digits and dashed landlines, digit-by-digit with 幺) and
+full-width digit forms (folded to ASCII before matching). Idioms and
+fractions remain out of scope (documented partial).
 
 Reading rules implemented:
 * digits 0-9 → 零一二三四五六七八九; positions 十百千, groups 万/亿/万亿
@@ -152,12 +152,19 @@ _NUM_RE = re.compile(
 )
 
 
+# full-width (ＦＵＬＬＷＩＤＴＨ) digits, %, minus and dot fold to ASCII
+# before matching — the cn_tn engine accepts both forms
+_FULLWIDTH = str.maketrans("０１２３４５６７８９．％－", "0123456789.%-")
+
+
 def cn_normalize_numbers_py(text: str | None) -> str | None:
     """Replace every numeric occurrence in ``text`` with its Mandarin
     reading (pinned-test kernel)."""
     if text is None:
         return None
-    return _NUM_RE.sub(lambda m: read_number(m.group(0)), text)
+    return _NUM_RE.sub(
+        lambda m: read_number(m.group(0)), text.translate(_FULLWIDTH)
+    )
 
 
 @pandas_udf(T.StringType())

@@ -37,22 +37,70 @@ ASSET_META = T.StructType(
 )
 
 
+def _be_int(b, pos: int, n: int):
+    """Big-endian unsigned int from ``n`` bytes at 1-based ``pos`` — pure
+    Catalyst (hex → base-16 conv), no Python."""
+    return F.conv(F.hex(F.substring(b, pos, n)), 16, 10).cast("int")
+
+
+def _le_int16(b, pos: int):
+    """Little-endian uint16 at 1-based ``pos``."""
+    return (
+        F.conv(F.hex(F.substring(b, pos, 1)), 16, 10)
+        + F.conv(F.hex(F.substring(b, pos + 1, 1)), 16, 10) * 256
+    ).cast("int")
+
+
+def _le_int32(b, pos: int):
+    """Little-endian uint32 at 1-based ``pos`` (BMP dims are int32 but
+    real-world widths fit int)."""
+    out = F.lit(0).cast("bigint")
+    for i in range(4):
+        out = out + F.conv(F.hex(F.substring(b, pos + i, 1)), 16, 10) * (256 ** i)
+    return out.cast("int")
+
+
 def with_asset_meta(df: DataFrame, bin_col: str = "payload", out: str = "meta") -> DataFrame:
-    """Cheap metadata from the binary itself (magic sniff + hash) — JVM/
-    Arrow only, no decode."""
+    """Cheap metadata from the binary itself — JVM-only, no decode: magic
+    sniff, sha256, and REAL pixel dimensions parsed from the fixed-offset
+    headers of PNG (IHDR, big-endian at byte 17/21), GIF (logical screen,
+    little-endian at 7/9) and BMP (BITMAPINFOHEADER at 19/23). JPEG dims
+    live in a variable-offset SOF marker — left NULL here (that scan is the
+    decode kernel's job). This makes resolution-range filters
+    (video_info_filter.py:324-336 analogue) real for PNG/GIF/BMP without
+    any codec."""
     b = F.col(bin_col)
+    is_jpg = F.substring(b, 1, 3) == bytes([0xFF, 0xD8, 0xFF])
+    is_png = F.substring(b, 1, 4) == b"\x89PNG"
+    is_gif = F.substring(b, 1, 4) == b"GIF8"
+    is_bmp = F.substring(b, 1, 2) == b"BM"
     mime = (
-        F.when(F.substring(b, 1, 3) == bytes([0xFF, 0xD8, 0xFF]), "image/jpeg")
-        .when(F.substring(b, 1, 4) == b"\x89PNG", "image/png")
+        F.when(is_jpg, "image/jpeg")
+        .when(is_png, "image/png")
+        .when(is_gif, "image/gif")
+        .when(is_bmp, "image/bmp")
         .when(F.substring(b, 1, 4) == b"RIFF", "audio/wav")
         .otherwise("application/octet-stream")
+    )
+    long_enough = F.length(b) >= 26
+    width = (
+        F.when(is_png & long_enough, _be_int(b, 17, 4))
+        .when(is_gif & long_enough, _le_int16(b, 7))
+        .when(is_bmp & long_enough, _le_int32(b, 19))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    height = (
+        F.when(is_png & long_enough, _be_int(b, 21, 4))
+        .when(is_gif & long_enough, _le_int16(b, 9))
+        .when(is_bmp & long_enough, _le_int32(b, 23))
+        .otherwise(F.lit(None).cast("int"))
     )
     return df.withColumn(
         out,
         F.struct(
             mime.alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            width.alias("width"),
+            height.alias("height"),
             F.length(b).cast("long").alias("n_bytes"),
             F.sha2(b, 256).alias("sha256"),
         ),

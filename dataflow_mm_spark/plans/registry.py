@@ -271,6 +271,187 @@ WHERE event_type = 'purchase' AND prev_type = 'error'
 """
 
 
+def events_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 TimestampChunkRowGenerator merge mode (size-capped session,
+    reference audio_timestamp_chunk_row_generator.py:29-55): spans derived
+    deterministically from events (start = floor(epoch(ts)), length =
+    event_id%7+1 seconds) greedily merged per user while merged duration
+    (last.end - first.start) <= 30s. The oracle re-runs the greedy walk as a
+    DuckDB recursive CTE — the cumulative cut rule, not an approximation."""
+    from dataflow_mm_spark.functions.timeutil import epoch_seconds
+    from dataflow_mm_spark.operators.expansion import merge_spans_capped
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.floor(epoch_seconds(F.col("ts")))
+    spans = ev.select(
+        "user_id",
+        sec.cast("double").alias("span_start"),
+        (sec + (F.col("event_id") % 7 + 1)).cast("double").alias("span_end"),
+    )
+    return merge_spans_capped(
+        spans, key_cols=("user_id",),
+        start_col="span_start", end_col="span_end", max_duration=30.0,
+    )
+
+
+# the greedy size-capped merge is inherently sequential per key; DuckDB
+# replays it exactly with a recursive CTE advancing one span (rn) per step.
+# cur_end is a running max within a sequence, so max() recovers the final
+# merged_end; int-valued doubles keep the arithmetic float-exact.
+EVENTS_MERGE_SPANS_SQL = """
+WITH RECURSIVE spans AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS DOUBLE) AS s,
+         CAST(floor(epoch(ts)) + (event_id % 7 + 1) AS DOUBLE) AS e
+  FROM events
+), ordered AS (
+  SELECT user_id, s, e,
+         row_number() OVER (PARTITION BY user_id ORDER BY s, e) AS rn
+  FROM spans
+), walk AS (
+  SELECT user_id, rn, s, e,
+         0 AS seq, s AS cur_start, e AS cur_end, 1 AS n
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.s, o.e,
+         CASE WHEN o.e - w.cur_start <= 30.0 THEN w.seq ELSE w.seq + 1 END,
+         CASE WHEN o.e - w.cur_start <= 30.0 THEN w.cur_start ELSE o.s END,
+         CASE WHEN o.e - w.cur_start <= 30.0 THEN greatest(w.cur_end, o.e)
+              ELSE o.e END,
+         CASE WHEN o.e - w.cur_start <= 30.0 THEN w.n + 1 ELSE 1 END
+  FROM ordered o JOIN walk w ON o.user_id = w.user_id AND o.rn = w.rn + 1
+)
+SELECT user_id,
+       CAST(seq AS INT) AS sequence_num,
+       min(cur_start) AS merged_start,
+       max(cur_end) AS merged_end,
+       CAST(max(n) AS INT) AS n_spans
+FROM walk GROUP BY user_id, seq
+"""
+
+
+def events_explode_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3 clip flatten (UDTF 1→N with ordinal, VideoClipGenerator
+    _flatten_video_clips semantics): a deterministic array<struct<start,end>>
+    column (event_id%3+1 spans of 2s each) flattened by
+    operators/expansion.explode_spans — posexplode ordinal + struct fields.
+    Oracle: lateral generate_series replay in DuckDB."""
+    from dataflow_mm_spark.functions.timeutil import epoch_seconds
+    from dataflow_mm_spark.operators.expansion import explode_spans
+
+    ev = _t(spark, sf_dir, "events")
+    base = F.floor(epoch_seconds(F.col("ts"))).cast("double")
+    spans = F.transform(
+        F.sequence(F.lit(0), (F.col("event_id") % 3).cast("int")),
+        lambda i: F.struct(
+            (base + i * 2.0).alias("start"), (base + i * 2.0 + 1.0).alias("end")
+        ),
+    )
+    src = ev.select("event_id", "user_id", spans.alias("timestamps"))
+    return explode_spans(src, "timestamps")
+
+
+EVENTS_EXPLODE_SPANS_SQL = """
+WITH x AS (
+  SELECT event_id, user_id, floor(epoch(ts)) AS base,
+         unnest(generate_series(0, event_id % 3)) AS i
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(i AS INT) AS span_idx,
+       CAST(base + i * 2.0 AS DOUBLE) AS span_start,
+       CAST(base + i * 2.0 + 1.0 AS DOUBLE) AS span_end
+FROM x
+"""
+
+
+def events_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 VideoScoreFilter (array<struct> HOF filter, strict mode: a NULL
+    metric fails the element): deterministic clips derived per event
+    (event_id%4+1 clips, every other clip's motion NULL), filtered by
+    score∈[5,50] ∧ motion≤40; emits per-event kept-count + kept-score sum so
+    the gate hashes scalars, not engine-specific array renderings."""
+    from dataflow_mm_spark.operators.filters import nested_clip_filter
+
+    ev = _t(spark, sf_dir, "events")
+    clips = F.transform(
+        F.sequence(F.lit(0), (F.col("event_id") % 4).cast("int")),
+        lambda i: F.struct(
+            (F.col("value") + i).alias("score"),
+            F.when(i % 2 == 0, F.col("value") * 2).alias("motion"),
+        ),
+    )
+    src = ev.select("event_id", clips.alias("clips"))
+    kept = nested_clip_filter(
+        src, "clips", {"score": (5.0, 50.0), "motion": (None, 40.0)},
+        strict=True,
+    )
+    return kept.select(
+        "event_id",
+        F.size("clips_kept").alias("n_kept"),
+        F.round(
+            F.coalesce(
+                F.aggregate(
+                    "clips_kept", F.lit(0.0), lambda a, c: a + c["score"]
+                ),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("sum_kept_score"),
+    )
+
+
+EVENTS_CLIP_FILTER_SQL = """
+WITH u AS (
+  SELECT event_id, value,
+         unnest(generate_series(0, event_id % 4)) AS i
+  FROM events
+), c AS (
+  SELECT event_id,
+         value + i AS score,
+         CASE WHEN i % 2 = 0 THEN value * 2 END AS motion
+  FROM u
+), k AS (
+  SELECT event_id,
+         count(*) FILTER (WHERE
+           score BETWEEN 5.0 AND 50.0
+           AND motion IS NOT NULL AND motion <= 40.0
+         ) AS n_kept,
+         coalesce(sum(score) FILTER (WHERE
+           score BETWEEN 5.0 AND 50.0
+           AND motion IS NOT NULL AND motion <= 40.0
+         ), 0.0) AS sum_kept_score
+  FROM c GROUP BY event_id
+)
+SELECT event_id, CAST(n_kept AS INT) AS n_kept,
+       round(sum_kept_score, 4) AS sum_kept_score
+FROM k
+"""
+
+
+def docs_templated_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G5 templated prompt build (named placeholders → format_string,
+    JVM-side, NULLs coalesce to empty): the prompt-construction half of the
+    templated generator, value-hash-gated."""
+    from dataflow_mm_spark.operators.generate import build_template_prompt
+
+    docs = _t(spark, sf_dir, "documents")
+    prompt = build_template_prompt(
+        "[{lang}] Summarize the following {source} document:\n{text}",
+        {"lang": "lang", "source": "source", "text": "text"},
+    )
+    return docs.select("doc_id", prompt.alias("prompt"))
+
+
+DOCS_TEMPLATED_SQL = """
+SELECT doc_id,
+       '[' || coalesce(lang, '') || '] Summarize the following ' ||
+       coalesce(source, '') || ' document:' || chr(10) || coalesce(text, '')
+       AS prompt
+FROM documents
+"""
+
+
 def transcript_prevturn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-turn context assembly: self-join turns with their predecessor
     (the batch replay of the streaming stream-stream join)."""
@@ -1357,6 +1538,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_whisper_normalize": docs_whisper_normalize,
     "docs_number_words": docs_number_words,
     "docs_cn_numbers": docs_cn_numbers,
+    "events_merge_spans": events_merge_spans,
+    "events_explode_spans": events_explode_spans,
+    "events_clip_filter": events_clip_filter,
+    "docs_templated_prompts": docs_templated_prompts,
     "docs_fingerprint": docs_fingerprint,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_cosine_neardup": emb_cosine_neardup,
@@ -1395,6 +1580,10 @@ ORACLES: dict[str, str] = {
     "docs_whisper_normalize": DOCS_WHISPER_SQL,
     "docs_number_words": DOCS_NUMWORD_SQL,
     "docs_cn_numbers": DOCS_CN_SQL,
+    "events_merge_spans": EVENTS_MERGE_SPANS_SQL,
+    "events_explode_spans": EVENTS_EXPLODE_SPANS_SQL,
+    "events_clip_filter": EVENTS_CLIP_FILTER_SQL,
+    "docs_templated_prompts": DOCS_TEMPLATED_SQL,
     "docs_fingerprint": DOCS_FP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_cosine_neardup": EMB_NEARDUP_SQL,

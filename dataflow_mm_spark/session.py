@@ -55,6 +55,20 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # throughput-oriented collector: G1's concurrent cycles inflate
+        # state-store commit times 3-10x under wide executors (measured
+        # 2026-08-17 on the 13.7M-turn enrich+dedup stream: local[32]
+        # sustained 196-303k t/s on G1 with 75-236s total commit, 401-459k
+        # t/s on ParallelGC with 34-52s — and run-to-run variance collapsed).
+        # ETL/streaming workloads have no latency SLO on the driver, so the
+        # stop-the-world throughput collector is the right default; override
+        # via extra_conf or SPARK_GRAFT_GC_OPTS.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC"))
+        # local mode folds executors into the driver JVM; on a real cluster
+        # the executor flag is the one that matters
+        .config("spark.executor.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")

@@ -292,15 +292,33 @@ def test_mcts_chain_extraction(spark):
 
 
 def test_multimodal_meta_and_fake_decode(spark):
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    import struct
+
+    # real header layouts: PNG IHDR (BE at 17/21), GIF screen (LE at 7/9),
+    # BMP BITMAPINFOHEADER (LE at 19/23)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x00" * 48
+    )
     jpg = bytes([0xFF, 0xD8, 0xFF]) + b"\x00" * 32
-    df = spark.createDataFrame([(1, png), (2, jpg)], "doc_id long, payload binary")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 32
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 1024, 768) + b"\x00" * 16
+    df = spark.createDataFrame(
+        [(1, png), (2, jpg), (3, gif), (4, bmp)],
+        "doc_id long, payload binary",
+    )
     metas = {r.doc_id: r.meta for r in MM.with_asset_meta(df).collect()}
     assert metas[1].mime == "image/png" and metas[2].mime == "image/jpeg"
+    assert metas[3].mime == "image/gif" and metas[4].mime == "image/bmp"
+    assert (metas[1].width, metas[1].height) == (640, 480)
+    assert (metas[3].width, metas[3].height) == (320, 200)
+    assert (metas[4].width, metas[4].height) == (1024, 768)
+    assert metas[2].width is None  # JPEG SOF scan is the decode kernel's job
     assert metas[1].n_bytes == len(png)
 
     feats = MM.decode_and_featurize(df, fake=True).collect()
-    assert len(feats) == 2
+    assert len(feats) == 4
     assert all(len(r.feature) == 8 and r.width == 224 for r in feats)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         MM.decode_and_featurize(df, fake=False).collect()
@@ -513,6 +531,11 @@ def test_cn_number_normalization(spark):
     }
     for tok, want in pinned.items():
         assert read_number(tok) == want, tok
+    # full-width digits fold to ASCII before reading
+    from dataflow_mm_spark.functions.cn_norm import cn_normalize_numbers_py
+
+    assert cn_normalize_numbers_py("共１２３元") == "共一百二十三元"
+    assert cn_normalize_numbers_py("３．５％") == "百分之三点五"
     txt = "共120034条，错误率0.5%，温度-3度"
     want = "共十二万零三十四条，错误率百分之零点五，温度负三度"
     assert cn_normalize_numbers_py(txt) == want

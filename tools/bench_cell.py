@@ -50,6 +50,10 @@ def main() -> None:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider"
         )
+    # generic conf passthrough: --conf k=v,k2=v2
+    for kv in filter(None, args.get("conf", "").split(",")):
+        k, _, v = kv.partition("=")
+        extra[k] = v
 
     load0 = os.getloadavg()[0]
     spark = get_spark("cell", master=master, shuffle_partitions=parts,

@@ -212,6 +212,8 @@ def parse_args(argv: list[str]) -> dict:
             opts["append"] = False
         elif a == "--no-limit-cores":
             opts["limit_cores"] = False
+        elif a.startswith("--input"):
+            opts["input"] = val()
         else:
             positionals.append(a)
         i += 1
@@ -224,16 +226,18 @@ def main() -> None:
     o = parse_args(sys.argv[1:])
     base = o["workdir"] or ("/dev/shm" if os.path.isdir("/dev/shm") else None)
     work = tempfile.mkdtemp(prefix="dfmm_scale_", dir=base)
-    inp = os.path.join(work, "turns_in")
+    inp = o.get("input") or os.path.join(work, "turns_in")
 
-    gen = (
-        "import sys; sys.path.insert(0, %r); "
-        "from dataflow_mm_spark.session import get_spark; "
-        "from dataflow_mm_spark.datagen import write_transcripts; "
-        "s = get_spark('gen', master='local[32]'); "
-        "write_transcripts(s, %r, n_convs=%d, files=256)"
-    ) % (REPO, inp, o["n_convs"])
-    subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True)
+    if not o.get("input"):
+        gen = (
+            "import sys; sys.path.insert(0, %r); "
+            "from dataflow_mm_spark.session import get_spark; "
+            "from dataflow_mm_spark.datagen import write_transcripts; "
+            "s = get_spark('gen', master='local[32]'); "
+            "write_transcripts(s, %r, n_convs=%d, files=256)"
+        ) % (REPO, inp, o["n_convs"])
+        subprocess.run([sys.executable, "-c", gen], check=True,
+                       capture_output=True)
 
     best: dict[tuple[str, str], dict] = {}
     n_turns = None
