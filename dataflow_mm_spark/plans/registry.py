@@ -429,6 +429,97 @@ FROM k
 """
 
 
+def events_span_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 CTC-alignment span-score filter (min-aggregate HOF over
+    array<struct<score>>, keep >= threshold, drop empty): spans derived
+    deterministically per event (event_id%5+1 spans, score =
+    ((event_id*7+i*13)%101)/100 — identical double arithmetic both
+    engines), min-mode threshold 0.5."""
+    from dataflow_mm_spark.operators.filters import span_score_filter
+
+    ev = _t(spark, sf_dir, "events")
+    spans = F.transform(
+        F.sequence(F.lit(0), (F.col("event_id") % 5).cast("int")),
+        lambda i: F.struct(
+            (((F.col("event_id") * 7 + i * 13) % 101) / 100.0).alias("score")
+        ),
+    )
+    src = ev.select("event_id", "user_id", spans.alias("alignment"))
+    return span_score_filter(
+        src, "alignment", mode="min", threshold=0.5
+    ).select("event_id", "user_id")
+
+
+EVENTS_SPAN_FILTER_SQL = """
+WITH u AS (
+  SELECT event_id, user_id,
+         unnest(generate_series(0, event_id % 5)) AS i
+  FROM events
+), s AS (
+  SELECT event_id, user_id,
+         ((event_id * 7 + i * 13) % 101) / 100.0 AS score
+  FROM u
+)
+SELECT event_id, any_value(user_id) AS user_id
+FROM s GROUP BY event_id
+HAVING min(score) >= 0.5
+"""
+
+
+def docs_qa_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 WikiQARefiner (context + repeated Q:/A: lines -> struct parse,
+    pure regexp + arrays_zip): the QA text is CONSTRUCTED per doc
+    (doc_id%3+1 pairs + one dangling unpaired Q that the zip-truncate rule
+    must drop), parsed by functions/extraction.parse_qa_blocks, and the
+    exploded pairs are hash-compared against the construction formula —
+    a round-trip proof of the parser on 500 doc shapes."""
+    from dataflow_mm_spark.functions.extraction import parse_qa_blocks
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 3 + 1).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat(
+                F.lit("\nQ: question "), F.col("doc_id"), F.lit("_"), i,
+                F.lit("\nA: answer "), F.col("doc_id"), F.lit("_"), i,
+            ),
+        ),
+        "",
+    )
+    text = F.concat(
+        F.lit("context "), F.col("doc_id"), body, F.lit("\nQ: dangling")
+    )
+    parsed = docs.select(
+        "doc_id", parse_qa_blocks(text).alias("p")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.context").alias("context"),
+        F.posexplode("p.qas").alias("qa_idx", "qa"),
+    ).select(
+        "doc_id", "context",
+        (F.col("qa_idx") + 1).alias("qa_idx"),
+        F.col("qa.question").alias("question"),
+        F.col("qa.answer").alias("answer"),
+    )
+
+
+DOCS_QA_PARSE_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         unnest(generate_series(1, doc_id % 3 + 1)) AS i
+  FROM documents
+)
+SELECT doc_id,
+       'context ' || doc_id AS context,
+       CAST(i AS INT) AS qa_idx,
+       'question ' || doc_id || '_' || i AS question,
+       'answer ' || doc_id || '_' || i AS answer
+FROM u
+"""
+
+
 def docs_templated_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2/G5 templated prompt build (named placeholders → format_string,
     JVM-side, NULLs coalesce to empty): the prompt-construction half of the
@@ -1541,6 +1632,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_merge_spans": events_merge_spans,
     "events_explode_spans": events_explode_spans,
     "events_clip_filter": events_clip_filter,
+    "events_span_filter": events_span_filter,
+    "docs_qa_parse": docs_qa_parse,
     "docs_templated_prompts": docs_templated_prompts,
     "docs_fingerprint": docs_fingerprint,
     "emb_cosine_topk": emb_cosine_topk,
@@ -1583,6 +1676,8 @@ ORACLES: dict[str, str] = {
     "events_merge_spans": EVENTS_MERGE_SPANS_SQL,
     "events_explode_spans": EVENTS_EXPLODE_SPANS_SQL,
     "events_clip_filter": EVENTS_CLIP_FILTER_SQL,
+    "events_span_filter": EVENTS_SPAN_FILTER_SQL,
+    "docs_qa_parse": DOCS_QA_PARSE_SQL,
     "docs_templated_prompts": DOCS_TEMPLATED_SQL,
     "docs_fingerprint": DOCS_FP_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
