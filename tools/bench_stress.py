@@ -6,7 +6,14 @@
    turns — worst-case agent-trace skew) — shows the stateful stages survive
    hot keys (bucketed CEP state + AQE; session/window state keys on conv_id).
 
-Appends results to BENCH.md §5. Usage: python tools/bench_stress.py
+r3 harness rules (the r1/r2 same-JVM form measured up to 3x residue
+penalties on later jobs and ran state stores on the shared disk):
+* one FRESH JVM per (input, job) cell, via tools/bench_cell.py;
+* workdir/input on tmpfs when available;
+* each cell gated on 1-min load < 1.5 (co-tenant bursts observed).
+
+Prints JSON; appends the results table to BENCH.md §5 (curate by hand).
+Usage: python tools/bench_stress.py
 """
 
 from __future__ import annotations
@@ -14,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -22,53 +30,68 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run(spark, inp: str, work: str, tag: str) -> dict:
-    from dataflow_mm_spark.streaming import jobs
+def wait_quiet(max_load: float = 1.5, timeout: float = 900.0) -> float:
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load > max_load and time.time() - t0 < timeout:
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return load
 
-    n = spark.read.parquet(inp).count()
-    res = {"tag": tag, "n_turns": n}
-    for name, fn in [
-        ("enrich_dedup", lambda o, c: jobs.turns_pipeline(
-            spark, inp, o, c, dedup=True, max_files_per_trigger=128)),
-        ("window", lambda o, c: jobs.windowed_pipeline(
-            spark, inp, o, c, max_files_per_trigger=128)),
-        ("cep", lambda o, c: jobs.cep_pipeline(
-            spark, inp, o, c, max_files_per_trigger=128)),
-    ]:
-        out, ck = os.path.join(work, f"{tag}_{name}_o"), os.path.join(work, f"{tag}_{name}_c")
-        t0 = time.time()
-        q, _ = fn(out, ck)
-        q.awaitTermination()
-        dt = time.time() - t0
-        res[name + "_tps"] = round(n / dt, 0)
-        shutil.rmtree(out, ignore_errors=True)
-        shutil.rmtree(ck, ignore_errors=True)
+
+def cell(inp: str, job: str, mft: int = 128) -> dict:
+    wait_quiet()
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_cell.py"),
+         "--input", inp, "--job", job, "--master", "local[32]",
+         "--heap", "8g", "--partitions", "32", "--mft", str(mft)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    for line in p.stdout.replace("\r", "\n").splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT; stderr tail: {p.stderr[-1500:]}")
+
+
+def run(inp: str, tag: str) -> dict:
+    res = {"tag": tag}
+    for name in ("enrich_dedup", "window", "cep"):
+        r = cell(inp, name)
+        res["n_turns"] = r["n_turns"]
+        res[name + "_tps"] = r["wall_tps"]
+        res[name + "_sustained"] = r["tps"]
     return res
 
 
 def main() -> None:
-    from dataflow_mm_spark.datagen import write_transcripts
-    from dataflow_mm_spark.session import get_spark
-
-    spark = get_spark("stress", master="local[32]")
-    work = tempfile.mkdtemp(prefix="dfmm_stress_")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="dfmm_stress_", dir=base)
     results = []
+
+    def gen(path: str, **kw) -> None:
+        code = (
+            "import sys; sys.path.insert(0, %r); "
+            "from dataflow_mm_spark.session import get_spark; "
+            "from dataflow_mm_spark.datagen import write_transcripts; "
+            "write_transcripts(get_spark('gen', master='local[32]'), %r, %s)"
+        ) % (REPO, path, ", ".join(f"{k}={v}" for k, v in kw.items()))
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       capture_output=True)
+
     try:
         big = os.path.join(work, "big")
-        write_transcripts(spark, big, n_convs=2_600_000, files=256)
-        results.append(run(spark, big, work, "scale_30M"))
+        gen(big, n_convs=2_600_000, files=256)
+        results.append(run(big, "scale_30M"))
         shutil.rmtree(big, ignore_errors=True)
 
         skew = os.path.join(work, "skew")
-        write_transcripts(
-            spark, skew, n_convs=60_000, files=256, mega_every=10, mega_turns=400
-        )
-        results.append(run(spark, skew, work, "skew_x20"))
+        gen(skew, n_convs=60_000, files=256, mega_every=10, mega_turns=400)
+        results.append(run(skew, "skew_x20"))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
     print(json.dumps(results, indent=2))
-    lines = ["", "## 5. Scale & skew stress (local[32], wall-clock turns/s)", ""]
+    lines = ["", "### §5 data refresh (append; fold into the table above)", ""]
     lines.append("| run | turns | enrich+dedup | window | cep |")
     lines.append("|---|---|---|---|---|")
     for r in results:
