@@ -106,22 +106,40 @@ def main() -> None:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
+    # key order matters: the driver's capture may keep only a prefix of the
+    # line, so metric/value/queries go FIRST and bulky evidence is reduced to
+    # a summary + file pointer (full blob lives in tools/scaling_latest.json)
     result = {
         "metric": "turns_per_sec_sustained",
         "value": stream.get("turns_per_sec_sustained") or stream["turns_per_sec"],
         "unit": "turns/sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "stream": stream,
         "cpus": int(cpus),
         "total_query_sec": round(sum(queries.values()), 2),
+        "stream": stream,
     }
+    from dataflow_mm_spark.session import runtime_gc
+
+    result["gc"] = runtime_gc(spark)  # detect silently-ignored GC flag
     # latest committed two-parallelism scaling evidence (tools/bench_scaling.py)
     snap = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "scaling_latest.json")
     if os.path.exists(snap):
         with open(snap) as f:
-            result["scaling"] = json.load(f)
+            blob = json.load(f)
+        eff = {
+            k: v.get("efficiency")
+            for k, v in blob.get(
+                "executor_model_4x_local8_key_disjoint_shards", {}
+            ).items()
+            if isinstance(v, dict) and "efficiency" in v
+        }
+        result["scaling"] = {
+            "executor_model_efficiency": eff,
+            "date": blob.get("date"),
+            "detail": "tools/scaling_latest.json",
+        }
     print(json.dumps(result))
 
 

@@ -39,8 +39,10 @@ ASSET_META = T.StructType(
 
 def _be_int(b, pos: int, n: int):
     """Big-endian unsigned int from ``n`` bytes at 1-based ``pos`` — pure
-    Catalyst (hex → base-16 conv), no Python."""
-    return F.conv(F.hex(F.substring(b, pos, n)), 16, 10).cast("int")
+    Catalyst (hex → base-16 conv), no Python. try_cast: a hostile header
+    with a value ≥ 2^31 yields NULL instead of an ANSI CAST_OVERFLOW that
+    would kill the whole job."""
+    return F.conv(F.hex(F.substring(b, pos, n)), 16, 10).try_cast("int")
 
 
 def _le_int16(b, pos: int):
@@ -48,27 +50,95 @@ def _le_int16(b, pos: int):
     return (
         F.conv(F.hex(F.substring(b, pos, 1)), 16, 10)
         + F.conv(F.hex(F.substring(b, pos + 1, 1)), 16, 10) * 256
-    ).cast("int")
+    ).try_cast("int")
 
 
-def _le_int32(b, pos: int):
-    """Little-endian uint32 at 1-based ``pos`` (BMP dims are int32 but
-    real-world widths fit int)."""
+def _le_int32_signed(b, pos: int):
+    """Little-endian SIGNED int32 at 1-based ``pos``. BMP dims are signed:
+    top-down BMPs store height negative (biHeight < 0 per BITMAPINFOHEADER),
+    so the raw unsigned read must be sign-extended before casting — an
+    unsigned read of e.g. -768 is 4294966528 and ANSI cast('int') throws
+    CAST_OVERFLOW on a perfectly valid file."""
     out = F.lit(0).cast("bigint")
     for i in range(4):
         out = out + F.conv(F.hex(F.substring(b, pos + i, 1)), 16, 10) * (256 ** i)
-    return out.cast("int")
+    signed = F.when(out >= F.lit(2 ** 31), out - F.lit(2 ** 32)).otherwise(out)
+    return signed.try_cast("int")
 
 
-def with_asset_meta(df: DataFrame, bin_col: str = "payload", out: str = "meta") -> DataFrame:
-    """Cheap metadata from the binary itself — JVM-only, no decode: magic
-    sniff, sha256, and REAL pixel dimensions parsed from the fixed-offset
-    headers of PNG (IHDR, big-endian at byte 17/21), GIF (logical screen,
-    little-endian at 7/9) and BMP (BITMAPINFOHEADER at 19/23). JPEG dims
-    live in a variable-offset SOF marker — left NULL here (that scan is the
-    decode kernel's job). This makes resolution-range filters
-    (video_info_filter.py:324-336 analogue) real for PNG/GIF/BMP without
-    any codec."""
+_SOF_MARKERS = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def _jpeg_sof_dims(buf) -> tuple[int, int] | None:
+    """Bounded JPEG marker walk over a header prefix: skip fill bytes and
+    zero-payload markers, follow segment lengths, return (width, height) from
+    the first SOFn frame header. Dims precede SOS in any decodable JPEG, so
+    hitting SOS/EOI without a SOF → None. Pure-python but runs inside an
+    Arrow batch and sees ≤64KB per row (the JPEG prefix only)."""
+    if buf is None:
+        return None
+    buf = bytes(buf)
+    n = len(buf)
+    if n < 4 or buf[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 <= n:
+        if buf[i] != 0xFF:
+            i += 1
+            continue
+        marker = buf[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+            return None
+        seglen = (buf[i + 2] << 8) | buf[i + 3]
+        if seglen < 2:
+            return None
+        if marker in _SOF_MARKERS:
+            h = (buf[i + 5] << 8) | buf[i + 6]
+            w = (buf[i + 7] << 8) | buf[i + 8]
+            return (w, h)
+        i += 2 + seglen
+    return None
+
+
+def _jpeg_dims_udf():
+    @F.pandas_udf("struct<width:int,height:int>")
+    def jpeg_dims(prefix: pd.Series) -> pd.DataFrame:
+        dims = [_jpeg_sof_dims(b) for b in prefix]
+        return pd.DataFrame(
+            {
+                "width": pd.array([d[0] if d else None for d in dims], dtype="Int32"),
+                "height": pd.array([d[1] if d else None for d in dims], dtype="Int32"),
+            }
+        )
+
+    return jpeg_dims
+
+
+def with_asset_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    out: str = "meta",
+    jpeg_scan: bool = True,
+) -> DataFrame:
+    """Cheap metadata from the binary itself, no decode: magic sniff, sha256,
+    and REAL pixel dimensions parsed from the fixed-offset headers of PNG
+    (IHDR, big-endian at byte 17/21), GIF (logical screen, little-endian at
+    7/9) and BMP (BITMAPINFOHEADER at 19/23) in pure Catalyst. JPEG dims
+    live in a variable-offset SOF marker — parsed by a bounded marker walk in
+    an Arrow-batched UDF over a ≤64KB prefix (the one decode-kernel edge in
+    this operator; non-JPEG rows cross the Arrow boundary as NULL so wide
+    payloads never ship to Python). Set ``jpeg_scan=False`` for a strictly
+    JVM-only plan. This makes resolution-range filters
+    (video_info_filter.py:324-336 analogue) real for PNG/GIF/BMP/JPEG
+    without any codec."""
     b = F.col(bin_col)
     is_jpg = F.substring(b, 1, 3) == bytes([0xFF, 0xD8, 0xFF])
     is_png = F.substring(b, 1, 4) == b"\x89PNG"
@@ -83,16 +153,30 @@ def with_asset_meta(df: DataFrame, bin_col: str = "payload", out: str = "meta") 
         .otherwise("application/octet-stream")
     )
     long_enough = F.length(b) >= 26
+    if jpeg_scan:
+        # pre-project the UDF result into a named column (CLAUDE.md rule:
+        # never reference a non-trivial subtree twice); only JPEG prefixes
+        # cross Arrow — everything else is NULL
+        jd = _jpeg_dims_udf()(
+            F.when(is_jpg & long_enough, F.substring(b, 1, 65536))
+        )
+    else:
+        jd = F.lit(None).cast("struct<width:int,height:int>")
+    df = df.withColumn("_jpeg_dims", jd)
+    jdc = F.col("_jpeg_dims")
     width = (
         F.when(is_png & long_enough, _be_int(b, 17, 4))
         .when(is_gif & long_enough, _le_int16(b, 7))
-        .when(is_bmp & long_enough, _le_int32(b, 19))
+        .when(is_bmp & long_enough, F.abs(_le_int32_signed(b, 19)))
+        .when(is_jpg & long_enough, jdc.getField("width"))
         .otherwise(F.lit(None).cast("int"))
     )
+    # BMP: negative height = top-down row order; pixel height is |biHeight|
     height = (
         F.when(is_png & long_enough, _be_int(b, 21, 4))
         .when(is_gif & long_enough, _le_int16(b, 9))
-        .when(is_bmp & long_enough, _le_int32(b, 23))
+        .when(is_bmp & long_enough, F.abs(_le_int32_signed(b, 23)))
+        .when(is_jpg & long_enough, jdc.getField("height"))
         .otherwise(F.lit(None).cast("int"))
     )
     return df.withColumn(
@@ -104,7 +188,7 @@ def with_asset_meta(df: DataFrame, bin_col: str = "payload", out: str = "meta") 
             F.length(b).cast("long").alias("n_bytes"),
             F.sha2(b, 256).alias("sha256"),
         ),
-    )
+    ).drop("_jpeg_dims")
 
 
 def decode_and_featurize(

@@ -370,7 +370,10 @@ def events_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric fails the element): deterministic clips derived per event
     (event_id%4+1 clips, every other clip's motion NULL), filtered by
     score∈[5,50] ∧ motion≤40; emits per-event kept-count + kept-score sum so
-    the gate hashes scalars, not engine-specific array renderings."""
+    the gate hashes scalars, not engine-specific array renderings. The sum
+    is computed over int64-quantized scores (round(score*10000)) per the
+    repo's float-exact rule — cross-engine double summation order is
+    ambiguous, integer sums are not (ADVICE r3)."""
     from dataflow_mm_spark.operators.filters import nested_clip_filter
 
     ev = _t(spark, sf_dir, "events")
@@ -386,18 +389,18 @@ def events_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, "clips", {"score": (5.0, 50.0), "motion": (None, 40.0)},
         strict=True,
     )
+    sum_q = F.coalesce(
+        F.aggregate(
+            "clips_kept",
+            F.lit(0).cast("bigint"),
+            lambda a, c: a + F.round(c["score"] * 10000).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+    )
     return kept.select(
         "event_id",
         F.size("clips_kept").alias("n_kept"),
-        F.round(
-            F.coalesce(
-                F.aggregate(
-                    "clips_kept", F.lit(0.0), lambda a, c: a + c["score"]
-                ),
-                F.lit(0.0),
-            ),
-            4,
-        ).alias("sum_kept_score"),
+        (sum_q / 10000.0).alias("sum_kept_score"),
     )
 
 
@@ -417,14 +420,15 @@ WITH u AS (
            score BETWEEN 5.0 AND 50.0
            AND motion IS NOT NULL AND motion <= 40.0
          ) AS n_kept,
-         coalesce(sum(score) FILTER (WHERE
+         -- int64-quantized sum: exact regardless of summation order
+         coalesce(sum(CAST(round(score * 10000) AS BIGINT)) FILTER (WHERE
            score BETWEEN 5.0 AND 50.0
            AND motion IS NOT NULL AND motion <= 40.0
-         ), 0.0) AS sum_kept_score
+         ), 0) AS sum_q
   FROM c GROUP BY event_id
 )
 SELECT event_id, CAST(n_kept AS INT) AS n_kept,
-       round(sum_kept_score, 4) AS sum_kept_score
+       sum_q / 10000.0 AS sum_kept_score
 FROM k
 """
 

@@ -77,4 +77,32 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # builder.config only reaches a FRESH driver JVM — with getOrCreate reuse
+    # or spark-submit-supplied opts the ParallelGC default is silently
+    # ignored, which invalidates streaming-state benchmarks (CLAUDE.md).
+    # Detect that: read the ACTUAL collector and warn if it isn't Parallel.
+    gc_names = runtime_gc(spark)
+    if gc_names and not any(n.startswith("PS ") for n in gc_names):
+        import warnings
+
+        warnings.warn(
+            f"driver JVM is running GC {gc_names} — the ParallelGC default "
+            "did not take effect (pre-existing JVM?); streaming-state "
+            "benchmark numbers from this session are not comparable",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return spark
+
+
+def runtime_gc(spark: SparkSession) -> list[str]:
+    """Names of the garbage collectors ACTUALLY running in the driver JVM
+    (GarbageCollectorMXBean) — ParallelGC reports 'PS Scavenge'/'PS MarkSweep',
+    G1 reports 'G1 Young Generation'/'G1 Old Generation'. Bench harnesses
+    record this so a silently-ignored GC flag is detectable in the output."""
+    try:
+        jvm = spark.sparkContext._jvm
+        beans = jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return [beans.get(i).getName() for i in range(beans.size())]
+    except Exception:  # no py4j gateway (spark-connect) — best-effort probe
+        return []

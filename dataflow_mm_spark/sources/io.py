@@ -126,8 +126,14 @@ def warehouse_rows(
     column (the reference reads ``sys:raw_data_id`` from the payload,
     defaulting 0), ``min_hashes`` = a real MinHash signature of the payload
     (the reference stubs this to ``[0]`` — storage.py:290-291) so warehouse-
-    side near-dup lookups work. Pure transform — unit-testable without a
-    warehouse; ``jdbc_write`` is the thin writer on top."""
+    side near-dup lookups work. ``min_hashes`` is ``array<bigint>`` — the
+    reference inserts integer arrays, so a real ClickHouse/MyScale
+    ``Array(UInt32/Int64)`` column accepts these rows (ADVICE r3: hex-string
+    arrays would fail the INSERT against a numeric-array column). Each
+    element is the repo's portable 60-bit form of the per-family min digest:
+    ``conv(substr(md5,1,15),16,10)::bigint`` — always positive, fits int64.
+    Pure transform — unit-testable without a warehouse; ``jdbc_write`` is
+    the thin writer on top."""
     from pyspark.sql import functions as F
 
     from dataflow_mm_spark.functions.dedup import minhash_signature
@@ -138,11 +144,16 @@ def warehouse_rows(
         if raw_data_id_col
         else F.lit(0).cast("long")
     )
+    sig_hex = minhash_signature(data, num_hashes=num_hashes)
+    sig_int = F.transform(
+        sig_hex,
+        lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"),
+    )
     return df.select(
         F.lit(pipeline_id).alias("pipeline_id"),
         F.lit(task_id).alias("task_id"),
         raw_id.alias("raw_data_id"),
-        minhash_signature(data, num_hashes=num_hashes).alias("min_hashes"),
+        sig_int.alias("min_hashes"),
         data.alias("data"),
     )
 

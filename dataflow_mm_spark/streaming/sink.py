@@ -21,6 +21,7 @@ Iceberg-shaped on purpose (SURVEY.md §7.5).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -181,9 +182,18 @@ class MetricsListener:
                 }
                 with open(path, "a") as f:
                     f.write(json.dumps(rec, default=str) + "\n")
+                    f.flush()
+                    os.fsync(f.fileno())
 
             def onQueryTerminated(self, event):
-                pass
+                # listener dispatch is async (a single ordered queue per
+                # listener), so this line lands AFTER every progress record
+                # for the query — it is the "all metrics flushed" barrier
+                # consumers can poll for instead of racing query.stop()
+                with open(path, "a") as f:
+                    f.write(json.dumps({"terminated": str(event.id)}) + "\n")
+                    f.flush()
+                    os.fsync(f.fileno())
 
             def onQueryIdle(self, event):
                 pass

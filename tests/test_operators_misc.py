@@ -301,24 +301,59 @@ def test_multimodal_meta_and_fake_decode(spark):
         + struct.pack(">I", 13) + b"IHDR"
         + struct.pack(">II", 640, 480) + b"\x00" * 48
     )
-    jpg = bytes([0xFF, 0xD8, 0xFF]) + b"\x00" * 32
+    # JPEG: APP0(JFIF) segment, then a baseline SOF0 with height=480 width=640
+    jpg = (
+        bytes([0xFF, 0xD8])
+        + bytes([0xFF, 0xE0]) + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + bytes([0xFF, 0xC0]) + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x00" * 10
+    )
+    # progressive SOF2 behind two APPn/COM segments
+    jpg_prog = (
+        bytes([0xFF, 0xD8])
+        + bytes([0xFF, 0xE1]) + struct.pack(">H", 8) + b"Exif\x00\x00"
+        + bytes([0xFF, 0xFE]) + struct.pack(">H", 6) + b"cmnt"
+        + bytes([0xFF, 0xC2]) + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 1080, 1920) + b"\x00" * 10
+    )
+    jpg_trunc = bytes([0xFF, 0xD8, 0xFF]) + b"\x00" * 32  # no SOF → NULL dims
     gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 32
     bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 1024, 768) + b"\x00" * 16
+    # top-down BMP stores height NEGATIVE (ADVICE r3: unsigned read overflowed
+    # ANSI cast); hostile PNG carries dims >= 2^31 (must yield NULL, not crash)
+    bmp_topdown = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 16
+    png_hostile = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 2**31 + 7, 2**32 - 1) + b"\x00" * 48
+    )
     df = spark.createDataFrame(
-        [(1, png), (2, jpg), (3, gif), (4, bmp)],
+        [(1, png), (2, jpg), (3, gif), (4, bmp), (5, bmp_topdown),
+         (6, png_hostile), (7, jpg_prog), (8, jpg_trunc)],
         "doc_id long, payload binary",
     )
     metas = {r.doc_id: r.meta for r in MM.with_asset_meta(df).collect()}
     assert metas[1].mime == "image/png" and metas[2].mime == "image/jpeg"
     assert metas[3].mime == "image/gif" and metas[4].mime == "image/bmp"
     assert (metas[1].width, metas[1].height) == (640, 480)
+    assert (metas[2].width, metas[2].height) == (640, 480)  # real SOF0 walk
     assert (metas[3].width, metas[3].height) == (320, 200)
     assert (metas[4].width, metas[4].height) == (1024, 768)
-    assert metas[2].width is None  # JPEG SOF scan is the decode kernel's job
+    assert (metas[5].width, metas[5].height) == (800, 600)  # |biHeight|
+    assert metas[6].width is None and metas[6].height is None  # try_cast
+    assert (metas[7].width, metas[7].height) == (1920, 1080)  # SOF2 behind APPn
+    assert metas[8].width is None  # truncated JPEG: no SOF found
     assert metas[1].n_bytes == len(png)
+    # jpeg_scan=False keeps the plan strictly JVM-side
+    metas_nojpeg = {
+        r.doc_id: r.meta
+        for r in MM.with_asset_meta(df, jpeg_scan=False).collect()
+    }
+    assert metas_nojpeg[2].width is None
+    assert (metas_nojpeg[5].width, metas_nojpeg[5].height) == (800, 600)
 
     feats = MM.decode_and_featurize(df, fake=True).collect()
-    assert len(feats) == 4
+    assert len(feats) == 8
     assert all(len(r.feature) == 8 and r.width == 224 for r in feats)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         MM.decode_and_featurize(df, fake=False).collect()
@@ -438,8 +473,12 @@ def test_jdbc_write_warehouse_row_shape(spark, tmp_path):
     assert [r.raw_data_id for r in back] == [7, 9]
     assert {r.pipeline_id for r in back} == {"p1"}
     assert {r.task_id for r in back} == {"t42"}
+    # reference inserts INTEGER arrays (storage.py:289-291) — a numeric-array
+    # warehouse column must accept these rows, so bigint, positive (60-bit)
+    assert dict(spark.read.parquet(out).dtypes)["min_hashes"] == "array<bigint>"
     for r in back:
         assert len(r.min_hashes) == 16
+        assert all(isinstance(h, int) and 0 <= h < 2**60 for h in r.min_hashes)
         payload = _json.loads(r.data)
         assert set(payload) == {"rid", "text", "role"}
     assert _json.loads(back[0].data)["text"] == "hello world"
