@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1607,6 +1608,250 @@ FROM w
 """
 
 
+def docs_prompted_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 PromptedQAGenerator under the driver gate (r3 judge #1): an
+    ascii-deterministic prompt per doc → the real concurrent-batched serving
+    path in mapInPandas (fake echo client) → P6 <answer> extraction. The
+    echo is deterministic (`<answer> echo:{len}:{p[:32]} </answer>`), so the
+    whole prompt→generate→extract pipeline replays in SQL. Reference shape:
+    core_text/generate/prompted_qa_generator.py:44-84."""
+    from dataflow_mm_spark.functions.extraction import extract_answer
+    from dataflow_mm_spark.operators.generate import prompted_generator
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.format_string(
+            "Q%d: what is %s?", F.col("doc_id"), F.substring(F.md5("text"), 1, 12)
+        ).alias("prompt"),
+    )
+    out = prompted_generator(
+        src, prompt_col="prompt", output_col="raw_answer",
+        batch_size=16, concurrency=4,
+    )
+    return out.select(
+        "doc_id", "prompt", extract_answer(F.col("raw_answer")).alias("answer")
+    )
+
+
+DOCS_PROMPTED_QA_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         'Q' || doc_id || ': what is ' || substr(md5(text), 1, 12) || '?' AS prompt
+  FROM documents
+), r AS (
+  SELECT doc_id, prompt,
+         '<answer> echo:' || length(prompt) || ':' || substr(prompt, 1, 32) ||
+         ' </answer>' AS raw_answer
+  FROM p
+)
+SELECT doc_id, prompt,
+       trim(regexp_extract(raw_answer, '<answer>\s*(.*?)\s*</answer>', 1)) AS answer
+FROM r
+"""
+
+
+def docs_batch_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 BatchVQAGenerator under the driver gate (r3 judge #1): per-doc
+    prompts LIST (doc_id%3+1 elements) → posexplode → concurrent serving →
+    ordinal re-collect. Answers joined with '|' so the gate hashes one
+    portable scalar instead of engine-specific array renderings. Reference:
+    core_vision/generate/batch_vqa_generator.py:61."""
+    from dataflow_mm_spark.operators.generate import batch_list_generator
+
+    docs = _t(spark, sf_dir, "documents")
+    prompts = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int")),
+        lambda i: F.format_string("p:%d:%d", F.col("doc_id"), i),
+    )
+    src = docs.select("doc_id", prompts.alias("prompts"))
+    out = batch_list_generator(
+        src, prompts_col="prompts", output_col="answers",
+        batch_size=16, concurrency=4,
+    )
+    return out.select(
+        "doc_id",
+        F.size("prompts").alias("n_prompts"),
+        F.concat_ws("|", "answers").alias("answers_joined"),
+    )
+
+
+DOCS_BATCH_GEN_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 3 + 1 AS INT) AS n_prompts,
+       array_to_string(
+         list_transform(generate_series(0, doc_id % 3),
+           i -> '<answer> echo:' || length('p:' || doc_id || ':' || i) || ':' ||
+                'p:' || doc_id || ':' || i || ' </answer>'),
+         '|') AS answers_joined
+FROM documents
+"""
+
+
+def _grade_serving(prompts: list[str]) -> list[str]:
+    """Deterministic judge stand-in: grade cycles A/B/C by prompt length —
+    SQL-replicable, unlike a real judge model."""
+    return [f"<grade>{'ABC'[len(p) % 3]}</grade>" for p in prompts]
+
+
+def docs_rollout_judge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/F14 rollout→judge keep-failed under the driver gate (r3 judge
+    #1): question (variable length via doc_id%13 padding so grades span
+    A/B/C) → echo rollout → judge prompt → deterministic A/B/C grade →
+    keep hard (non-A) examples. Reference:
+    core_vision/filter/vision_dependent_filter.py:46-138,
+    core_vision/filter/failrate_filter.py:46-140."""
+    from dataflow_mm_spark.operators.generate import rollout_and_judge
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.format_string(
+            "Q%d: %s what is %s?",
+            F.col("doc_id"),
+            F.repeat(F.lit("x"), (F.col("doc_id") % 13).cast("int")),
+            F.substring(F.md5("text"), 1, 12),
+        ).alias("question"),
+        F.substring(F.md5("text"), 13, 8).alias("gold"),
+    )
+    out = rollout_and_judge(
+        src, "question", "gold", judge_factory=lambda: _grade_serving,
+        keep="failed",
+    )
+    return out.select(
+        "doc_id", "question", "gold",
+        F.col("_rollout").alias("rollout"),
+        F.col("_grade").alias("grade"),
+    )
+
+
+DOCS_ROLLOUT_JUDGE_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         'Q' || doc_id || ': ' || repeat('x', CAST(doc_id % 13 AS INT)) ||
+         ' what is ' || substr(md5(text), 1, 12) || '?' AS question,
+         substr(md5(text), 13, 8) AS gold
+  FROM documents
+), r AS (
+  SELECT *, '<answer> echo:' || length(question) || ':' ||
+            substr(question, 1, 32) || ' </answer>' AS rollout
+  FROM s
+), j AS (
+  SELECT *, 'Judge A/B/C:' || chr(10) || question || chr(10) || gold ||
+            chr(10) || rollout AS judge_prompt
+  FROM r
+), g AS (
+  SELECT doc_id, question, gold, rollout,
+         substr('ABC', CAST(length(judge_prompt) % 3 AS INT) + 1, 1) AS grade
+  FROM j
+)
+SELECT * FROM g WHERE grade <> 'A'
+"""
+
+
+def _mcts_fixture_tree_udf():
+    """Deterministic MCTS rollout-tree JSON per doc_id — two families:
+    linear chains of depth doc_id%4+2 (terminal correct unless doc_id%5==0,
+    wrong rollout at node i when (doc_id+i)%3==0) and, for doc_id%4==3, a
+    branched tree (correct A-branch, incorrect B-branch, optional wrong at
+    the root). The ORACLE derives the expected chains from these generating
+    parameters in closed form — independent of the recursive walker."""
+    import json as _json
+
+    def build(doc_id: int) -> str:
+        b, c5, c3 = doc_id % 4, doc_id % 5, doc_id % 3
+
+        def node(text, i=None, children=(), terminal=False, correct=True,
+                 wrong=False):
+            n: dict = {"text": text}
+            if wrong:
+                n["rollouts"] = [{"text": f"w{i}", "correct": False}]
+            if terminal:
+                n["is_terminal"] = True
+                n["is_correct"] = correct
+            if children:
+                n["children"] = list(children)
+            return n
+
+        if b < 3:
+            depth = b + 2
+            cur = node(
+                f"s{depth - 1}", i=depth - 1, terminal=True,
+                correct=(c5 != 0), wrong=((doc_id + depth - 1) % 3 == 0),
+            )
+            for i in range(depth - 2, -1, -1):
+                cur = node(f"s{i}", i=i, children=[cur],
+                           wrong=((doc_id + i) % 3 == 0))
+            return _json.dumps(cur)
+        a = node("a1", children=[node("a2", terminal=True, correct=True)])
+        bn = node("b1", children=[node("b2", terminal=True, correct=False)])
+        root = node("s0", i=0, children=[a, bn], wrong=(c3 == 0))
+        return _json.dumps(root)
+
+    @F.pandas_udf("string")
+    def fixture(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda x: build(int(x)))
+
+    return fixture
+
+
+def docs_mcts_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 MCTSTreeRefiner under the driver gate (r3 judge #3): a
+    deterministic rollout tree per doc (JSON) → the REAL recursive
+    chain-extraction walker (direct-correct chains + wrong→backtrack→correct
+    chains) → posexplode to rows. The oracle enumerates the same chains in
+    closed form from the tree-generating parameters. Reference:
+    core_text/refine/mcts_tree_refiner.py:30-106."""
+    from dataflow_mm_spark.operators.trees import mcts_chain_rows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    src = docs.withColumn("tree", _mcts_fixture_tree_udf()(F.col("doc_id")))
+    out = mcts_chain_rows(src, "tree", out="chain")
+    return out.select("doc_id", "chain_idx", "chain")
+
+
+DOCS_MCTS_SQL = """
+WITH d AS (SELECT doc_id FROM documents),
+lin AS (  -- linear family: chains only when the terminal is correct
+  SELECT doc_id, CAST(doc_id % 4 AS INT) + 2 AS depth
+  FROM d WHERE doc_id % 4 < 3 AND doc_id % 5 <> 0
+),
+lin_direct AS (
+  SELECT doc_id, -1 AS ord,
+         array_to_string(
+           list_transform(generate_series(0, depth - 1), j -> 's' || j),
+           ' -> ') AS chain
+  FROM lin
+),
+lin_back AS (  -- wrong at node i inserts after the first i+1 path elements
+  SELECT doc_id, i AS ord,
+         array_to_string(
+           list_transform(generate_series(0, i), j -> 's' || j)
+           || ['[wrong: w' || i || ']']
+           || list_transform(generate_series(i + 1, depth - 1), j -> 's' || j),
+           ' -> ') AS chain
+  FROM (SELECT doc_id, depth, unnest(generate_series(0, depth - 1)) AS i
+        FROM lin)
+  WHERE (doc_id + i) % 3 = 0
+),
+br AS (SELECT doc_id FROM d WHERE doc_id % 4 = 3),
+br_direct AS (SELECT doc_id, -1 AS ord, 's0 -> a1 -> a2' AS chain FROM br),
+br_back AS (
+  SELECT doc_id, 0 AS ord, 's0 -> [wrong: w0] -> a1 -> a2' AS chain
+  FROM br WHERE doc_id % 3 = 0
+),
+allc AS (
+  SELECT * FROM lin_direct UNION ALL SELECT * FROM lin_back
+  UNION ALL SELECT * FROM br_direct UNION ALL SELECT * FROM br_back
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT)
+         AS chain_idx,
+       chain
+FROM allc
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1651,6 +1896,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_simhash_neardup": docs_simhash_neardup,
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
+    "docs_prompted_qa": docs_prompted_qa,
+    "docs_batch_generate": docs_batch_generate,
+    "docs_rollout_judge": docs_rollout_judge,
+    "docs_mcts_chains": docs_mcts_chains,
 }
 
 ORACLES: dict[str, str] = {
@@ -1695,6 +1944,10 @@ ORACLES: dict[str, str] = {
     "docs_simhash_neardup": DOCS_SIMHASH_SQL,
     "docs_winnow_fingerprints": DOCS_WINNOW_SQL,
     "emb_ann_lsh_topk": EMB_ANN_SQL,
+    "docs_prompted_qa": DOCS_PROMPTED_QA_SQL,
+    "docs_batch_generate": DOCS_BATCH_GEN_SQL,
+    "docs_rollout_judge": DOCS_ROLLOUT_JUDGE_SQL,
+    "docs_mcts_chains": DOCS_MCTS_SQL,
 }
 
 
