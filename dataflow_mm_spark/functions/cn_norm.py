@@ -39,7 +39,6 @@ from pyspark.sql.functions import pandas_udf
 
 _DIGITS = "零一二三四五六七八九"
 _UNITS = ["", "十", "百", "千"]
-_GROUPS = ["", "万", "亿", "万亿"]
 
 
 def _read_under_10000(n: int) -> str:
@@ -65,30 +64,41 @@ def read_digits(s: str) -> str:
     return "".join(_DIGITS[int(c)] for c in s)
 
 
+def _read_under_1e8(n: int) -> str:
+    """Reading of 0 < n < 10^8: 万-group + base group with the gap-零 rule
+    (a base group below its 千 place after a 万 group takes a 零)."""
+    hi, lo = divmod(n, 10000)
+    if hi == 0:
+        return _read_under_10000(lo)
+    s = _read_under_10000(hi) + "万"
+    if lo:
+        if lo < 1000:
+            s += "零"
+        s += _read_under_10000(lo)
+    return s
+
+
 def read_int(n: int) -> str:
     """Mandarin cardinal reading of a non-negative integer < 10^16; longer
-    integers fall back to digit-by-digit (IDs/hashes are not cardinals)."""
+    integers fall back to digit-by-digit (IDs/hashes are not cardinals).
+
+    Numbers ≥ 10^8 split at 亿 with the multiplier read as a FULL cardinal
+    (standard Mandarin: 7000200030000 → 七万零二亿零三万, not the flat-group
+    七万亿零二亿零三万 this engine produced before r4 — the two only differ
+    when both the 万亿- and 亿-level groups are nonzero)."""
     if n >= 10**16:
         return read_digits(str(n))
     if n == 0:
         return "零"
-    groups: list[int] = []  # least-significant 4-digit group first
-    while n > 0:
-        groups.append(n % 10000)
-        n //= 10000
-    parts: list[str] = []
-    for i in range(len(groups) - 1, -1, -1):
-        g = groups[i]
-        if g == 0:
-            continue
-        txt = _read_under_10000(g) + _GROUPS[i]
-        # a group under 1000 after a higher group implies an interior zero:
-        # 100_0034 → 一百万零三十四
-        if parts and g < 1000:
-            parts.append("零" + txt)
-        else:
-            parts.append(txt)
-    s = "".join(parts)
+    hi, lo = divmod(n, 10**8)
+    if hi == 0:
+        s = _read_under_1e8(lo)
+    else:
+        s = _read_under_1e8(hi) + "亿"
+        if lo:
+            if lo < 10**7:
+                s += "零"
+            s += _read_under_1e8(lo)
     # leading 一十 reads 十 (only at the very start)
     if s.startswith("一十"):
         s = s[1:]

@@ -127,6 +127,13 @@ _NUMBER_WORDS = (
     set(_NUM_UNITS) | set(_NUM_TENS) | set(_NUM_SCALES) | {"hundred"}
     | set(_ORD_UNITS) | set(_ORD_TENS) | set(_ORD_SCALES) | {"point"}
 )
+# what may follow a linking "and" inside one number: a group/ordinal opener,
+# never a scale/hundred/point ("one hundred and five" links; "one and
+# million" is two tokens of soup, not a number — r4 grammar alignment with
+# oracles/reading_oracle)
+_AND_CONTINUERS = (
+    set(_NUM_UNITS) | set(_NUM_TENS) | set(_ORD_UNITS) | set(_ORD_TENS)
+)
 
 
 def _ordinal_suffix(n: int) -> str:
@@ -154,8 +161,11 @@ def _try_number(toks: list[str], i: int):
         w = toks[j]
         if zero_only and w != "point":
             break  # "zero" combines with nothing but a decimal point
-        if w == "and" and started and pending_and is None:
-            if j + 1 < len(toks) and toks[j + 1] in _NUMBER_WORDS:
+        # a linking "and" is valid only at a hundreds/scale boundary
+        # ("one hundred and five", "two thousand and one") — never inside a
+        # sub-hundred ("ninety and one" is two numbers; r4 grammar alignment)
+        if w == "and" and started and pending_and is None and group % 100 == 0:
+            if j + 1 < len(toks) and toks[j + 1] in _AND_CONTINUERS:
                 pending_and = j
                 j += 1
                 continue
@@ -190,14 +200,19 @@ def _try_number(toks: list[str], i: int):
                 group += _ORD_TENS[w]
                 started, ordinal, consumed = True, True, True
         elif w in _ORD_SCALES:
+            # ordinal scales compose onto a PURE group prefix only ("three
+            # thousandth"); after a consumed cardinal scale the run ends —
+            # "ninety thousand hundredth" is 90000 then 100th, not 90100th
+            # (r4 grammar alignment with oracles/reading_oracle)
             s = _ORD_SCALES[w]
-            if s == 100:
-                if group <= 9:
-                    group = (group or 1) * 100
-                    started, ordinal, consumed = True, True, True
-            elif group >= 0 and (min_scale_used is None or s < min_scale_used):
-                total += (group or 1) * s
-                group, started, ordinal, consumed = 0, True, True, True
+            if min_scale_used is None:
+                if s == 100:
+                    if group <= 9:
+                        group = (group or 1) * 100
+                        started, ordinal, consumed = True, True, True
+                else:
+                    total += (group or 1) * s
+                    group, started, ordinal, consumed = 0, True, True, True
         elif w == "point" and started and frac is None:
             if (
                 j + 1 < len(toks)

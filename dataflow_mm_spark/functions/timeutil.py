@@ -25,3 +25,12 @@ def epoch_seconds(c: Column) -> Column:
         )
         / F.lit(1_000_000.0)
     )
+
+
+def epoch_micros(c: Column) -> Column:
+    """Integer wall-clock microseconds since epoch via the same NTZ diff —
+    the DST-safe long form used to ship event time across Arrow as 8 raw
+    bytes (identical to pandas' naive datetime64[us].astype(int64))."""
+    return F.timestamp_diff(
+        "MICROSECOND", F.expr(_EPOCH_NTZ), c.cast("timestamp_ntz")
+    )

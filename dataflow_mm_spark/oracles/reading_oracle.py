@@ -1,0 +1,305 @@
+"""Independent number-reading oracle (r3 judge #7).
+
+Derives the driver-gate pins for ``docs_number_words`` / ``docs_cn_numbers``
+from the PUBLIC reading rules in a deliberately different code shape from the
+engine kernels, so an error must be made twice — in two different
+algorithms — to slip past the value-hash gate (the same contract
+``metric_oracle.py`` provides for WER/ROUGE/BLEU):
+
+* EN (vs ``functions/normalize.py``'s single-pass token FSM with an
+  accumulator + pending-"and" rollback): a recursive-descent grammar parser —
+  subhundred → group → scale chain → ordinal/decimal composition.
+* CN (vs ``functions/cn_norm.py``'s iterative hi/lo split with positional
+  4-digit group rendering): a pure recursion over descending units
+  (亿→万→千→百→十) with the gap-零 rule applied at each split.
+
+Both sides implement the same public semantics; neither imports the other.
+"""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------------------
+# English number words → digits (Whisper EnglishNumberNormalizer semantics)
+# --------------------------------------------------------------------------
+
+_SMALL = {
+    "zero": 0, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+    "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
+    "twelve": 12, "thirteen": 13, "fourteen": 14, "fifteen": 15,
+    "sixteen": 16, "seventeen": 17, "eighteen": 18, "nineteen": 19,
+}
+_TENS = {
+    "twenty": 20, "thirty": 30, "forty": 40, "fifty": 50,
+    "sixty": 60, "seventy": 70, "eighty": 80, "ninety": 90,
+}
+_SCALE_VAL = {
+    "thousand": 10**3, "million": 10**6, "billion": 10**9, "trillion": 10**12,
+}
+_ORD_SMALL = {
+    "first": 1, "second": 2, "third": 3, "fourth": 4, "fifth": 5,
+    "sixth": 6, "seventh": 7, "eighth": 8, "ninth": 9, "tenth": 10,
+    "eleventh": 11, "twelfth": 12, "thirteenth": 13, "fourteenth": 14,
+    "fifteenth": 15, "sixteenth": 16, "seventeenth": 17, "eighteenth": 18,
+    "nineteenth": 19,
+}
+_ORD_TENS = {
+    "twentieth": 20, "thirtieth": 30, "fortieth": 40, "fiftieth": 50,
+    "sixtieth": 60, "seventieth": 70, "eightieth": 80, "ninetieth": 90,
+}
+_ORD_SCALE = {
+    "hundredth": 100, "thousandth": 10**3, "millionth": 10**6,
+    "billionth": 10**9, "trillionth": 10**12,
+}
+_ORD_ANY = set(_ORD_SMALL) | set(_ORD_TENS) | set(_ORD_SCALE)
+
+
+def _suffix(n: int) -> str:
+    two = n % 100
+    if two in (11, 12, 13):
+        return "th"
+    return {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
+
+
+def _sub100(w: list[str], i: int):
+    """1-99 cardinal at w[i] → (value, next) | None. Zero is NOT a
+    subhundred — it composes with nothing (handled at number level)."""
+    if i >= len(w):
+        return None
+    t = w[i]
+    if t in _TENS:
+        v = _TENS[t]
+        if i + 1 < len(w) and w[i + 1] in _SMALL and 1 <= _SMALL[w[i + 1]] <= 9:
+            return v + _SMALL[w[i + 1]], i + 2
+        return v, i + 1
+    if t in _SMALL and _SMALL[t] >= 1:
+        return _SMALL[t], i + 1
+    return None
+
+
+def _group(w: list[str], i: int):
+    """1-999 group: [1-9 'hundred' ['and'] [sub100]] | sub100."""
+    sub = _sub100(w, i)
+    if sub is None:
+        return None
+    v, j = sub
+    if 1 <= v <= 9 and j < len(w) and w[j] == "hundred":
+        v, j = v * 100, j + 1
+        k = j
+        if k < len(w) and w[k] == "and":
+            rest = _sub100(w, k + 1)
+            if rest is not None:
+                return v + rest[0], rest[1]
+        rest = _sub100(w, j)
+        if rest is not None:
+            return v + rest[0], rest[1]
+        return v, j
+    return v, j
+
+
+def _cardinal(w: list[str], i: int):
+    """Positive cardinal: group (scale ['and'] group?)* with strictly
+    decreasing scales → (value, next, used_scale) | None."""
+    g = _group(w, i)
+    if g is None:
+        return None
+    val, j = g
+    total, last_scale = 0, None
+    while j < len(w) and w[j] in _SCALE_VAL and val > 0:
+        s = _SCALE_VAL[w[j]]
+        if last_scale is not None and s >= last_scale:
+            break
+        total, last_scale, val, j = total + val * s, s, 0, j + 1
+        k = j
+        if k < len(w) and w[k] == "and":
+            nxt = _group(w, k + 1)
+            if nxt is not None:
+                val, j = nxt
+                continue
+            break
+        nxt = _group(w, j)
+        if nxt is not None:
+            val, j = nxt
+            continue
+        break
+    return total + val, j, last_scale is not None
+
+
+def _number(w: list[str], i: int):
+    """Full number at w[i] → (rendered, next) | None."""
+    # zero: standalone, or a decimal lead
+    if w[i] == "zero":
+        val, j, scaled = 0, i + 1, False
+    else:
+        c = _cardinal(w, i)
+        if c is None:
+            # bare ordinal ("first", "twentieth", "hundredth")
+            return _ordinal_from(0, w, i, scaled=False)
+        val, j, scaled = c
+    # decimal: 'point' + run of 0-9 digit words
+    if (
+        j + 1 < len(w)
+        and w[j] == "point"
+        and w[j + 1] in _SMALL
+        and _SMALL[w[j + 1]] < 10
+    ):
+        frac, j = "", j + 1
+        while j < len(w) and w[j] in _SMALL and _SMALL[w[j]] < 10:
+            frac, j = frac + str(_SMALL[w[j]]), j + 1
+        return f"{val}.{frac}", j
+    if val == 0:
+        return "0", j
+    # ordinal continuation ("twenty first", "one hundred and first")
+    o = _ordinal_from(val, w, j, scaled)
+    if o is not None:
+        return o
+    return str(val), j
+
+
+def _ordinal_from(prefix: int, w: list[str], i: int, scaled: bool):
+    """Ordinal word at w[i] (optionally behind 'and') composed onto a
+    cardinal prefix → (rendered, next) | None."""
+    k = i
+    if (
+        prefix > 0
+        and prefix % 100 == 0
+        and k < len(w)
+        and w[k] == "and"
+        and k + 1 < len(w)
+        and (w[k + 1] in _ORD_SMALL or w[k + 1] in _ORD_TENS)
+    ):
+        k += 1
+    if k >= len(w):
+        return None
+    t = w[k]
+    if t in _ORD_SMALL:
+        v = _ORD_SMALL[t]
+        fits = (
+            prefix == 0
+            or (v < 10 and prefix % 10 == 0 and prefix % 100 != 10)
+            or (v >= 10 and prefix % 100 == 0)
+        )
+        if fits:
+            n = prefix + v
+            return f"{n}{_suffix(n)}", k + 1
+        return None
+    if t in _ORD_TENS and (prefix == 0 or prefix % 100 == 0):
+        n = prefix + _ORD_TENS[t]
+        return f"{n}{_suffix(n)}", k + 1
+    if t in _ORD_SCALE and not scaled and (t != "hundredth" or prefix <= 9):
+        # pure-group prefix only: "three thousandth", "ninety thousandth",
+        # "two hundredth" — but not "ninety hundredth" (no such cardinal)
+        n = (prefix or 1) * _ORD_SCALE[t]
+        return f"{n}{_suffix(n)}", k + 1
+    return None
+
+
+def en_number_words(phrase: str) -> str:
+    """Phrase with spelled-out numbers → phrase with digits."""
+    w = phrase.split()
+    out, i = [], 0
+    while i < len(w):
+        r = _number(w, i) if (w[i] in _SMALL or w[i] in _TENS or w[i] in _ORD_ANY) else None
+        if r is not None:
+            out.append(r[0])
+            i = r[1]
+        else:
+            out.append(w[i])
+            i += 1
+    return " ".join(out)
+
+
+# --------------------------------------------------------------------------
+# Mandarin readings (cn_tn subset semantics)
+# --------------------------------------------------------------------------
+
+_DIG = "零一二三四五六七八九"
+_UNITS_DESC = ((10**8, "亿"), (10**4, "万"), (10**3, "千"), (10**2, "百"), (10, "十"))
+
+
+def _rx(n: int) -> str:
+    """Pure recursion over descending units; gap-零 when the remainder falls
+    below a tenth of the split base."""
+    for base, name in _UNITS_DESC:
+        if n >= base:
+            hi, lo = divmod(n, base)
+            s = _rx(hi) + name
+            if lo:
+                if lo < base // 10:
+                    s += "零"
+                s += _rx(lo)
+            return s
+    return _DIG[n]
+
+
+def cn_int(n: int) -> str:
+    """Cardinal reading of 0 <= n (leading 一十 reads 十); ≥10^16 falls back
+    to digit-by-digit — IDs/hashes are not cardinals (public cn_tn rule)."""
+    if n >= 10**16:
+        return cn_digits(str(n))
+    if n == 0:
+        return "零"
+    s = _rx(n)
+    return s[1:] if s.startswith("一十") else s
+
+
+def cn_digits(s: str) -> str:
+    return "".join(_DIG[int(c)] for c in s)
+
+
+def cn_phone(s: str) -> str:
+    return "".join("幺" if c == "1" else _DIG[int(c)] for c in s if c != "-")
+
+
+_CN_UNITS = {"kg": "千克", "km": "千米", "cm": "厘米", "mm": "毫米", "℃": "摄氏度"}
+
+
+_CN_TOKEN_RE = None  # built lazily; the public cn_tn tokenization spec
+
+
+def cn_text(text: str) -> str:
+    """Text-level normalization: replace every numeric occurrence (per the
+    public cn_tn tokenization — years, phones, signed decimals with %/unit
+    suffixes, full-width folded) with its reading."""
+    import re
+
+    global _CN_TOKEN_RE
+    if _CN_TOKEN_RE is None:
+        _CN_TOKEN_RE = re.compile(
+            r"\d{4}年"
+            r"|(?<!\d)1[3-9]\d{9}(?!\d)"
+            r"|(?<!\d)0\d{2,3}-\d{7,8}(?!\d)"
+            r"|-?\d+(?:\.\d+)?(?:%|kg|km|cm|mm|℃)?"
+        )
+    folded = text.translate(
+        str.maketrans("０１２３４５６７８９．％－", "0123456789.%-")
+    )
+    return _CN_TOKEN_RE.sub(lambda m: cn_token(m.group(0)), folded)
+
+
+def cn_token(token: str) -> str:
+    """Reading of one numeric token in the cn_tn subset: 4-digit years,
+    phones (mobile/dashed landline), [-]digits[.digits][%|unit]."""
+    import re
+
+    t = token
+    if t.endswith("年") and re.fullmatch(r"\d{4}年", t):
+        return cn_digits(t[:-1]) + "年"
+    if re.fullmatch(r"1[3-9]\d{9}|0\d{2,3}-\d{7,8}", t):
+        return cn_phone(t)
+    sign = ""
+    if t.startswith("-"):
+        sign, t = "负", t[1:]
+    unit = ""
+    for u, r in _CN_UNITS.items():
+        if t.endswith(u):
+            unit, t = r, t[: -len(u)]
+            break
+    pct = t.endswith("%")
+    if pct:
+        t = t[:-1]
+    if "." in t:
+        whole, frac = t.split(".", 1)
+        body = cn_int(int(whole or "0")) + "点" + cn_digits(frac)
+    else:
+        body = cn_int(int(t))
+    return sign + ("百分之" + body if pct else body) + unit

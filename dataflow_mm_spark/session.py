@@ -70,8 +70,10 @@ def get_spark(
         .config("spark.executor.extraJavaOptions",
                 os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.streaming.stateStore.providerClass",
-                "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+        # in-memory provider: right while state fits the heap; use
+        # state_store_conf(est_keys, ...) via extra_conf to flip to RocksDB
+        # past the measured crossover (BENCH.md §5)
+        .config("spark.sql.streaming.stateStore.providerClass", HDFS_PROVIDER)
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
@@ -93,6 +95,39 @@ def get_spark(
             stacklevel=2,
         )
     return spark
+
+
+HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def state_store_conf(
+    est_keys: int,
+    executors: int = 1,
+    heap_bytes: int = 8 << 30,
+    bytes_per_key: int = 150,
+) -> dict[str, str]:
+    """Pick the state-store provider from the MEASURED crossover
+    (BENCH.md §5, r3): the in-memory HDFS-backed provider wins while
+    per-executor state fits comfortably in the heap (13.7M dedup keys in 8g:
+    HDFS 303k vs RocksDB 196k t/s), and collapses once it does not — at 30M
+    keys RocksDB@8g (180k) beats HDFS even with 28g (109k), because the
+    versioned in-heap maps turn the throughput collector into full-GC churn.
+
+    Decision rule (conservative fit of both measured regimes): RocksDB when
+    per-executor keys exceed 16M OR raw state bytes exceed ~30% of the
+    executor heap; HDFS otherwise. Pass the result as ``extra_conf`` to
+    :func:`get_spark` — per-query override stays one config line."""
+    per_exec = est_keys / max(1, executors)
+    if per_exec > 16_000_000 or per_exec * bytes_per_key > 0.30 * heap_bytes:
+        provider = ROCKSDB_PROVIDER
+    else:
+        provider = HDFS_PROVIDER
+    return {"spark.sql.streaming.stateStore.providerClass": provider}
 
 
 def runtime_gc(spark: SparkSession) -> list[str]:

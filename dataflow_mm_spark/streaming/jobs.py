@@ -189,17 +189,38 @@ def neardup_pipeline(
     checkpoint: str,
     watermark: str = "10 minutes",
     available_now: bool = True,
+    resolve: bool = True,
     **neardup_kw,
 ):
-    """Streaming MinHash near-duplicate candidate detection → sink. The
-    candidate event log is resolved to a keep-first dedup decision by
-    streaming.dedup.resolve_keep_first (batch, or inside a downstream
-    foreachBatch)."""
-    from dataflow_mm_spark.streaming.dedup import neardup_candidates_stream
+    """Streaming MinHash near-duplicate detection → exactly-once sink.
+
+    ``resolve=True`` (default): keep-first resolution happens IN-STREAM —
+    the stateful stage emits arrival markers + candidates, foreachBatch
+    grades each arrival (decisions_from_batch) and the sink lands one
+    ``(row_key, dup)`` decision per row, resumable from checkpoint.
+    ``resolve=False``: the raw candidate event log (r3 behavior; resolve
+    later with streaming.dedup.resolve_keep_first)."""
+    from dataflow_mm_spark.streaming.dedup import (
+        decisions_from_batch,
+        neardup_candidates_stream,
+        neardup_dedup_stream,
+    )
 
     turns = read_transcript_stream(spark, input_path, None, watermark)
-    cands = neardup_candidates_stream(turns, **neardup_kw)
     sink = ExactlyOnceParquetSink(out_dir)
+    if resolve:
+        stream = neardup_dedup_stream(turns, **neardup_kw)
+        w = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(
+                lambda df, bid: sink.foreach_batch(decisions_from_batch(df), bid)
+            )
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start(), sink
+    cands = neardup_candidates_stream(turns, **neardup_kw)
     q = _start(cands, sink, checkpoint, available_now)
     return q, sink
 
