@@ -6,8 +6,9 @@ the reference code), the deterministic subset an ASR/TTS transcript pipeline
 hits most: cardinal integers, decimals, percentages and signed numbers spoken
 in Mandarin, plus dates (年), latin unit suffixes, phone numbers (mobile
 ``1[3-9]``+9 digits and dashed landlines, digit-by-digit with 幺) and
-full-width digit forms (folded to ASCII before matching). Idioms and
-fractions remain out of scope (documented partial).
+fractions (``N/M`` → 分母分之分子, cn_tn.py:813-828) and full-width digit
+forms (folded to ASCII before matching). Idioms (成语 protection lists)
+remain out of scope (documented partial).
 
 Reading rules implemented:
 * digits 0-9 → 零一二三四五六七八九; positions 十百千, groups 万/亿/万亿
@@ -130,6 +131,9 @@ def read_number(token: str) -> str:
         return read_digits(t[:-1]) + "年"
     if _PHONE_RE.fullmatch(t):
         return read_phone(t)
+    if "/" in t:  # fraction N/M → 分母分之分子 (cn_tn.py:813-828 semantics)
+        num, den = t.split("/", 1)
+        return read_int(int(den)) + "分之" + read_int(int(num))
     prefix = ""
     if t.startswith("-"):
         prefix, t = "负", t[1:]
@@ -158,6 +162,7 @@ _NUM_RE = re.compile(
     r"\d{4}年"
     r"|(?<!\d)1[3-9]\d{9}(?!\d)"          # mobile
     r"|(?<!\d)0\d{2,3}-\d{7,8}(?!\d)"     # dashed landline
+    r"|(?<!\d)\d+/\d+(?!\d)"              # fraction (cn_tn.py:968-973)
     r"|-?\d+(?:\.\d+)?(?:%|kg|km|cm|mm|℃)?"
 )
 

@@ -247,6 +247,31 @@ def _try_number(toks: list[str], i: int):
     return str(n), j
 
 
+# Whisper-style currency subset (EnglishNumberNormalizer behavior): a
+# rendered number followed by a currency word takes its symbol prefix
+# ("three dollars" → "$3"); "$A and ¢B" merges to "$A.BB" (cents
+# zero-padded). "and a half" / sub-dollar $0.xx extraction stay out of
+# scope (documented).
+_CURRENCY_RE = None
+
+
+def _currency_post(s: str) -> str:
+    import re
+
+    global _CURRENCY_RE
+    if _CURRENCY_RE is None:
+        _CURRENCY_RE = (
+            re.compile(r"(?<![\w.$£¢])(\d+(?:\.\d+)?) (dollars?|pounds?)(?!\w)"),
+            re.compile(r"(?<![\w.$£¢])(\d+(?:\.\d+)?) (cents?|pence)(?!\w)"),
+            re.compile(r"([$£])(\d+) and [¢p](\d{1,2})(?!\d)"),
+        )
+    big, small, merge = _CURRENCY_RE
+    s = big.sub(lambda m: ("$" if m.group(2)[0] == "d" else "£") + m.group(1), s)
+    s = small.sub(lambda m: ("¢" if m.group(2)[0] == "c" else "p") + m.group(1), s)
+    s = merge.sub(lambda m: f"{m.group(1)}{m.group(2)}.{int(m.group(3)):02d}", s)
+    return s
+
+
 def number_words_to_digits_py(s: str | None) -> str | None:
     """Python twin (parity oracle + driver-pin derivation)."""
     if s is None:
@@ -263,7 +288,7 @@ def number_words_to_digits_py(s: str | None) -> str | None:
                 continue
         out.append(toks[i])
         i += 1
-    return " ".join(out)
+    return _currency_post(" ".join(out))
 
 
 @pandas_udf(T.StringType())

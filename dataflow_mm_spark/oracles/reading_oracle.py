@@ -193,6 +193,51 @@ def _ordinal_from(prefix: int, w: list[str], i: int, scaled: bool):
     return None
 
 
+_CUR_BIG = {"dollar": "$", "dollars": "$", "pound": "£", "pounds": "£"}
+_CUR_SMALL = {"cent": "¢", "cents": "¢", "pence": "p"}
+
+
+def _is_num(t: str) -> bool:
+    return t.replace(".", "", 1).isdigit() and not t.startswith(".")
+
+
+def _currency_tokens(toks: list[str]) -> list[str]:
+    """Token-scan currency pass (vs the kernel's regex post-pass): number +
+    currency word → symbol prefix, then '$A and ¢B' triple → '$A.BB'."""
+    res: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if _is_num(t) and i + 1 < len(toks):
+            nxt = toks[i + 1]
+            if nxt in _CUR_BIG:
+                res.append(_CUR_BIG[nxt] + t)
+                i += 2
+                continue
+            if nxt in _CUR_SMALL:
+                res.append(_CUR_SMALL[nxt] + t)
+                i += 2
+                continue
+        res.append(t)
+        i += 1
+    out: list[str] = []
+    i = 0
+    while i < len(res):
+        if (
+            i + 2 < len(res)
+            and res[i][:1] in "$£" and res[i][1:].isdigit()
+            and res[i + 1] == "and"
+            and res[i + 2][:1] in "¢p" and res[i + 2][1:].isdigit()
+            and len(res[i + 2]) <= 3
+        ):
+            out.append(f"{res[i][0]}{res[i][1:]}.{int(res[i + 2][1:]):02d}")
+            i += 3
+            continue
+        out.append(res[i])
+        i += 1
+    return out
+
+
 def en_number_words(phrase: str) -> str:
     """Phrase with spelled-out numbers → phrase with digits."""
     w = phrase.split()
@@ -205,7 +250,7 @@ def en_number_words(phrase: str) -> str:
         else:
             out.append(w[i])
             i += 1
-    return " ".join(out)
+    return " ".join(_currency_tokens(out))
 
 
 # --------------------------------------------------------------------------
@@ -268,6 +313,7 @@ def cn_text(text: str) -> str:
             r"\d{4}年"
             r"|(?<!\d)1[3-9]\d{9}(?!\d)"
             r"|(?<!\d)0\d{2,3}-\d{7,8}(?!\d)"
+            r"|(?<!\d)\d+/\d+(?!\d)"
             r"|-?\d+(?:\.\d+)?(?:%|kg|km|cm|mm|℃)?"
         )
     folded = text.translate(
@@ -286,6 +332,9 @@ def cn_token(token: str) -> str:
         return cn_digits(t[:-1]) + "年"
     if re.fullmatch(r"1[3-9]\d{9}|0\d{2,3}-\d{7,8}", t):
         return cn_phone(t)
+    if re.fullmatch(r"\d+/\d+", t):
+        num, den = t.split("/")
+        return cn_int(int(den)) + "分之" + cn_int(int(num))
     sign = ""
     if t.startswith("-"):
         sign, t = "负", t[1:]

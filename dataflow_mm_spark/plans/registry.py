@@ -1106,6 +1106,14 @@ _NUMWORD_PHRASES = [
     "one billion two hundred million",
     "nineteen eighty four",
     "one million and one",
+    # Whisper-style currency subset (r4)
+    "five dollars",
+    "ninety nine cents",
+    "three dollars and fifty cents",
+    "ten dollars and five cents",
+    "two pounds and six pence",
+    "one million dollars",
+    "cents on the dollar",
 ]
 from dataflow_mm_spark.oracles.reading_oracle import (  # noqa: E402
     en_number_words as _oracle_en_words,
@@ -1199,7 +1207,7 @@ def _bleu_sql() -> str:
 DOCS_BLEU_SQL = _bleu_sql()
 
 
-# cn_tn fixtures: 36 residue-selected tokens — cardinals through the 亿 and
+# cn_tn fixtures: 39 residue-selected tokens — cardinals through the 亿 and
 # 万亿 levels incl. interior-zero CHAINS across both split points (the r3
 # hand-pin gap), decimals, percent, negatives, dates (年/月/日), latin unit
 # suffixes and phone numbers (mobile/dashed landline, 幺 digit reading).
@@ -1220,6 +1228,7 @@ _CN_TOKENS = [
     "80000009", "40004", "11", "110", "1001", "-3.5kg", "0.01%",
     "19001110000",        # 亿-multiplier with interior zero
     "10000000000000000",  # >= 10^16: digit-by-digit fallback
+    "1/3", "22/7", "3/100",  # fractions: 分母分之分子 (cn_tn Fraction)
 ]
 from dataflow_mm_spark.oracles.reading_oracle import (  # noqa: E402
     cn_text as _oracle_cn_text,
@@ -1230,7 +1239,7 @@ _CN_EXPECTED = [_oracle_cn_text(f"共{t}条") for t in _CN_TOKENS]
 
 def docs_cn_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 TextNormalizer, cn_tn engine subset: Mandarin number/date/unit
-    reading embedded in text (共<N>条) over the 36-shape family; expected
+    reading embedded in text (共<N>条) over the 39-shape family; expected
     strings derive from the independent reading_oracle recursion."""
     from dataflow_mm_spark.functions.cn_norm import cn_normalize_numbers
 

@@ -118,6 +118,7 @@ def warehouse_rows(
     task_id: str,
     raw_data_id_col: str | None = None,
     num_hashes: int = 16,
+    array_format: str = "native",
 ) -> DataFrame:
     """Shape a DataFrame into the reference warehouse row schema
     ``(pipeline_id, task_id, raw_data_id, min_hashes, data)``
@@ -149,6 +150,10 @@ def warehouse_rows(
         sig_hex,
         lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"),
     )
+    if array_format == "json":
+        # for warehouses whose Spark JDBC dialect has no ARRAY mapping
+        # (Derby/H2/...): the signature rides as a JSON int-array string
+        sig_int = F.to_json(sig_int)
     return df.select(
         F.lit(pipeline_id).alias("pipeline_id"),
         F.lit(task_id).alias("task_id"),
@@ -168,6 +173,7 @@ def jdbc_write(
     raw_data_id_col: str | None = None,
     batchsize: int = 10_000,
     _format: str = "jdbc",
+    array_format: str = "native",
     **options,
 ) -> None:
     """Warehouse write (MyScaleDBStorage.write analogue): every row lands as
@@ -177,7 +183,9 @@ def jdbc_write(
     test (no JDBC driver ships in this sandbox): the test swaps in
     ``parquet`` + a ``path`` option and verifies the exact row shape through
     the same writer path."""
-    out = warehouse_rows(df, pipeline_id, task_id, raw_data_id_col)
+    out = warehouse_rows(
+        df, pipeline_id, task_id, raw_data_id_col, array_format=array_format
+    )
     w = out.write.format(_format).mode(mode)
     if _format == "jdbc":
         w = (

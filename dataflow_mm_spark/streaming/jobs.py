@@ -137,7 +137,13 @@ def cep_pipeline(
 ):
     """Role-alternation + tool-pairing CEP event stream → sink. Default uses
     the bucketed state layout (per-group constant amortized over ~buckets
-    groups instead of one group per conversation — see cep_stream_bucketed)."""
+    groups instead of one group per conversation — see cep_stream_bucketed).
+
+    Deployment note (measured, BENCH.md §2 r4): size ``max_files_per_trigger``
+    so rows/batch/executor × ~250B stays within the executor's cache share —
+    ≲220k rows per 8-core executor on the bench box. Oversized micro-batches
+    blow the shared cache under executor density and BOTH scaling efficiency
+    (0.597 → 0.24) and absolute fleet throughput (−25%) collapse."""
     from dataflow_mm_spark.streaming.cep import cep_stream_bucketed
 
     turns = read_transcript_stream(

@@ -647,3 +647,45 @@ def test_state_store_provider_crossover_rule():
     assert state_store_conf(30_000_000, 4, 8 * g)[key] == HDFS_PROVIDER
     # small heap flips even moderate state
     assert state_store_conf(10_000_000, 1, 2 * g)[key] == ROCKSDB_PROVIDER
+
+
+def test_jdbc_real_roundtrip_derby(spark, tmp_path):
+    """S4/S5 through a REAL JDBC driver (embedded Apache Derby, shipped in
+    Spark's classpath): jdbc_write lands the reference warehouse row shape
+    through Spark's actual JDBC type mapping (r3 fake-JDBC gap), and
+    warehouse_scan reads it back as a partitioned parallel JDBC scan."""
+    import json as _json
+
+    from dataflow_mm_spark.sources.io import jdbc_read, jdbc_write
+
+    url = f"jdbc:derby:{tmp_path}/wh;create=true"
+    driver = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(i, f"text {i}", "user" if i % 2 else "tool") for i in range(20)],
+        "rid long, text string, role string",
+    )
+    # Derby's Spark dialect has no ARRAY mapping → json array_format
+    jdbc_write(
+        df, url=url, table="warehouse", pipeline_id="p1", task_id="t1",
+        raw_data_id_col="rid", array_format="json", **driver,
+    )
+    back = jdbc_read(
+        spark, url, "warehouse",
+        partition_column="raw_data_id", num_partitions=4,
+        lower_bound=0, upper_bound=20, **driver,
+    )
+    assert back.rdd.getNumPartitions() == 4  # real partitioned JDBC read
+    rows = back.orderBy("raw_data_id").collect()
+    assert [r.raw_data_id for r in rows] == list(range(20))
+    assert {r.pipeline_id for r in rows} == {"p1"}
+    for r in rows:
+        sig = _json.loads(r.min_hashes)
+        assert len(sig) == 16 and all(isinstance(h, int) for h in sig)
+        payload = _json.loads(r.data)
+        assert set(payload) == {"rid", "text", "role"}
+    # predicate pushdown reaches the JDBC source (filter in the scan, not Spark)
+    one = jdbc_read(spark, url, "warehouse", **driver).filter(
+        F.col("raw_data_id") == 7
+    )
+    assert one.count() == 1
+    assert _json.loads(one.first().data)["text"] == "text 7"
