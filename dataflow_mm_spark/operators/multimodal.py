@@ -108,10 +108,74 @@ def _jpeg_sof_dims(buf) -> tuple[int, int] | None:
     return None
 
 
+def _mp4_tkhd_dims(buf) -> tuple[int, int] | None:
+    """Bounded ISO-BMFF box walk: find moov → trak → tkhd and read the
+    16.16-fixed width/height of the first track with nonzero dims (the
+    video track; audio tracks carry 0×0). Works on faststart files (moov
+    before mdat — the streaming-layout norm); a tail-moov file outside the
+    prefix yields None, the decode kernel's job."""
+    if buf is None:
+        return None
+    buf = bytes(buf)
+    n = len(buf)
+
+    def walk(lo: int, hi: int, want: bytes):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            typ = buf[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > hi:
+                    return None
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:  # box runs to end of enclosing scope
+                size = hi - i
+            if size < hdr:
+                return None
+            if typ == want:
+                return (i + hdr, min(i + size, hi))
+            i += size
+        return None
+
+    if n < 12 or buf[4:8] != b"ftyp":
+        return None
+    moov = walk(0, n, b"moov")
+    if not moov:
+        return None
+    lo, hi = moov
+    while True:
+        trak = walk(lo, hi, b"trak")
+        if not trak:
+            return None
+        tlo, thi = trak
+        tkhd = walk(tlo, thi, b"tkhd")
+        if tkhd:
+            klo, khi = tkhd
+            ver = buf[klo] if klo < n else 0
+            # payload-relative: ver+flags(4) + times/ids (20 v0 / 32 v1) +
+            # reserved/layer/volume (16) + matrix (36) → width@76 (v0) / 88
+            off = klo + (88 if ver == 1 else 76)
+            if off + 8 <= khi:
+                w = int.from_bytes(buf[off : off + 4], "big") >> 16
+                h = int.from_bytes(buf[off + 4 : off + 8], "big") >> 16
+                if w and h:
+                    return (w, h)
+        lo = thi  # next sibling trak
+        if lo >= hi:
+            return None
+
+
 def _jpeg_dims_udf():
     @F.pandas_udf("struct<width:int,height:int>")
-    def jpeg_dims(prefix: pd.Series) -> pd.DataFrame:
-        dims = [_jpeg_sof_dims(b) for b in prefix]
+    def media_dims(prefix: pd.Series) -> pd.DataFrame:
+        dims = []
+        for b in prefix:
+            d = _jpeg_sof_dims(b)
+            if d is None and b is not None and bytes(b[4:8]) == b"ftyp":
+                d = _mp4_tkhd_dims(b)
+            dims.append(d)
         return pd.DataFrame(
             {
                 "width": pd.array([d[0] if d else None for d in dims], dtype="Int32"),
@@ -119,7 +183,7 @@ def _jpeg_dims_udf():
             }
         )
 
-    return jpeg_dims
+    return media_dims
 
 
 def with_asset_meta(
@@ -132,33 +196,39 @@ def with_asset_meta(
     and REAL pixel dimensions parsed from the fixed-offset headers of PNG
     (IHDR, big-endian at byte 17/21), GIF (logical screen, little-endian at
     7/9) and BMP (BITMAPINFOHEADER at 19/23) in pure Catalyst. JPEG dims
-    live in a variable-offset SOF marker — parsed by a bounded marker walk in
-    an Arrow-batched UDF over a ≤64KB prefix (the one decode-kernel edge in
-    this operator; non-JPEG rows cross the Arrow boundary as NULL so wide
+    (variable-offset SOF marker) and MP4 dims (moov→trak→tkhd box walk,
+    first nonzero-dim track) are parsed by bounded walks in one
+    Arrow-batched UDF over a 64KB/256KB prefix (the decode-kernel edge in
+    this operator; other rows cross the Arrow boundary as NULL so wide
     payloads never ship to Python). Set ``jpeg_scan=False`` for a strictly
     JVM-only plan. This makes resolution-range filters
-    (video_info_filter.py:324-336 analogue) real for PNG/GIF/BMP/JPEG
+    (video_info_filter.py:324-336 analogue) real for PNG/GIF/BMP/JPEG/MP4
     without any codec."""
     b = F.col(bin_col)
     is_jpg = F.substring(b, 1, 3) == bytes([0xFF, 0xD8, 0xFF])
     is_png = F.substring(b, 1, 4) == b"\x89PNG"
     is_gif = F.substring(b, 1, 4) == b"GIF8"
     is_bmp = F.substring(b, 1, 2) == b"BM"
+    is_mp4 = F.substring(b, 5, 4) == b"ftyp"
     mime = (
         F.when(is_jpg, "image/jpeg")
         .when(is_png, "image/png")
         .when(is_gif, "image/gif")
         .when(is_bmp, "image/bmp")
+        .when(is_mp4, "video/mp4")
         .when(F.substring(b, 1, 4) == b"RIFF", "audio/wav")
         .otherwise("application/octet-stream")
     )
     long_enough = F.length(b) >= 26
     if jpeg_scan:
         # pre-project the UDF result into a named column (CLAUDE.md rule:
-        # never reference a non-trivial subtree twice); only JPEG prefixes
-        # cross Arrow — everything else is NULL
+        # never reference a non-trivial subtree twice); only JPEG/MP4
+        # prefixes cross Arrow — everything else is NULL. MP4 gets a 256KB
+        # prefix (the moov box of a faststart file), JPEG 64KB.
         jd = _jpeg_dims_udf()(
-            F.when(is_jpg & long_enough, F.substring(b, 1, 65536))
+            F.when(is_jpg & long_enough, F.substring(b, 1, 65536)).when(
+                is_mp4 & long_enough, F.substring(b, 1, 262144)
+            )
         )
     else:
         jd = F.lit(None).cast("struct<width:int,height:int>")
@@ -168,7 +238,7 @@ def with_asset_meta(
         F.when(is_png & long_enough, _be_int(b, 17, 4))
         .when(is_gif & long_enough, _le_int16(b, 7))
         .when(is_bmp & long_enough, F.abs(_le_int32_signed(b, 19)))
-        .when(is_jpg & long_enough, jdc.getField("width"))
+        .when((is_jpg | is_mp4) & long_enough, jdc.getField("width"))
         .otherwise(F.lit(None).cast("int"))
     )
     # BMP: negative height = top-down row order; pixel height is |biHeight|
@@ -176,7 +246,7 @@ def with_asset_meta(
         F.when(is_png & long_enough, _be_int(b, 21, 4))
         .when(is_gif & long_enough, _le_int16(b, 9))
         .when(is_bmp & long_enough, F.abs(_le_int32_signed(b, 23)))
-        .when(is_jpg & long_enough, jdc.getField("height"))
+        .when((is_jpg | is_mp4) & long_enough, jdc.getField("height"))
         .otherwise(F.lit(None).cast("int"))
     )
     return df.withColumn(

@@ -320,6 +320,24 @@ def test_multimodal_meta_and_fake_decode(spark):
         + struct.pack(">HH", 1080, 1920) + b"\x00" * 10
     )
     jpg_trunc = bytes([0xFF, 0xD8, 0xFF]) + b"\x00" * 32  # no SOF → NULL dims
+
+    # faststart MP4: ftyp, then moov with an AUDIO trak (0x0 tkhd — must be
+    # skipped) followed by the video trak (1280x720, 16.16 fixed point)
+    def _box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def _tkhd(w, h):
+        return _box(
+            b"tkhd",
+            b"\x00" + b"\x00" * 3 + b"\x00" * 20 + b"\x00" * 16 + b"\x00" * 36
+            + struct.pack(">II", w << 16, h << 16),
+        )
+
+    mp4 = (
+        _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + _box(b"moov", _box(b"trak", _tkhd(0, 0)) + _box(b"trak", _tkhd(1280, 720)))
+        + _box(b"mdat", b"\x00" * 64)
+    )
     gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 32
     bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 1024, 768) + b"\x00" * 16
     # top-down BMP stores height NEGATIVE (ADVICE r3: unsigned read overflowed
@@ -332,7 +350,7 @@ def test_multimodal_meta_and_fake_decode(spark):
     )
     df = spark.createDataFrame(
         [(1, png), (2, jpg), (3, gif), (4, bmp), (5, bmp_topdown),
-         (6, png_hostile), (7, jpg_prog), (8, jpg_trunc)],
+         (6, png_hostile), (7, jpg_prog), (8, jpg_trunc), (9, mp4)],
         "doc_id long, payload binary",
     )
     metas = {r.doc_id: r.meta for r in MM.with_asset_meta(df).collect()}
@@ -346,6 +364,9 @@ def test_multimodal_meta_and_fake_decode(spark):
     assert metas[6].width is None and metas[6].height is None  # try_cast
     assert (metas[7].width, metas[7].height) == (1920, 1080)  # SOF2 behind APPn
     assert metas[8].width is None  # truncated JPEG: no SOF found
+    assert metas[9].mime == "video/mp4"
+    assert (metas[9].width, metas[9].height) == (1280, 720)  # tkhd box walk
+    assert metas[9].n_bytes == len(mp4)
     assert metas[1].n_bytes == len(png)
     # jpeg_scan=False keeps the plan strictly JVM-side
     metas_nojpeg = {
@@ -356,7 +377,7 @@ def test_multimodal_meta_and_fake_decode(spark):
     assert (metas_nojpeg[5].width, metas_nojpeg[5].height) == (800, 600)
 
     feats = MM.decode_and_featurize(df, fake=True).collect()
-    assert len(feats) == 8
+    assert len(feats) == 9
     assert all(len(r.feature) == 8 and r.width == 224 for r in feats)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         MM.decode_and_featurize(df, fake=False).collect()
