@@ -276,12 +276,13 @@ def joint_neardup_dedup(
     jaccard_threshold: float = 0.5,
     max_hamming: int = 3,
     n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """ImageDiversityFilter composition (D4, image_diversity_filter.py:65-120):
     a row survives only if it is novel under BOTH detectors — here n-gram
     Jaccard (content overlap) and SimHash (fuzzy token profile). Keep-first:
     drop ids appearing as the later element of any pair from either detector."""
-    jac_dups = ngram_jaccard_pairs(df, text_col, id_col, n, jaccard_threshold)
+    jac_dups = ngram_jaccard_pairs(df, text_col, id_col, n, jaccard_threshold, max_df)
     sim_dups = simhash_neardup_pairs(df, text_col, id_col, max_hamming)
     dups = (
         jac_dups.select(F.col("id_b").alias(id_col))

@@ -111,3 +111,31 @@ def sequence_match(
             F.col(ts_col).alias("then_ts"),
         )
     )
+
+
+def ordered_lag_score(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """F5 VideoMotionScore batch analogue
+    (video_motion_score_filter.py:173-236): per key, the mean absolute
+    step-to-step delta of a metric over the ordered sequence — the
+    frame-pair motion statistic generalized to any ordered stream. Deltas
+    are int64-quantized (round(|Δ|*1000)) before summing so the aggregate is
+    summation-order-free (CLAUDE.md float-exact rule); the mean is two
+    divisions of exact integers → bit-identical across engines."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    d = df.withColumn("_prev", F.lag(value_col).over(w))
+    q = F.round(F.abs(F.col(value_col) - F.col("_prev")) * 1000).cast("bigint")
+    return (
+        d.filter(F.col("_prev").isNotNull())
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_steps"), F.sum(q).alias("_mq"))
+        .select(
+            *key_cols,
+            "n_steps",
+            (F.col("_mq") / 1000.0 / F.col("n_steps")).alias("motion_score"),
+        )
+    )

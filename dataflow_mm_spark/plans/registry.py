@@ -1880,6 +1880,187 @@ FROM allc
 """
 
 
+def events_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 frame sampling under the gate: deterministic spans per event →
+    interval sampling (explode(sequence)) at 1.0s. Span endpoints are exact
+    binary doubles (k*1.5, +0.5) so floor/compare are cross-engine exact."""
+    from dataflow_mm_spark.operators.expansion import sample_points
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        ((F.col("event_id") % 7) * 1.5).alias("span_start"),
+        ((F.col("event_id") % 7) * 1.5 + (F.col("event_id") % 4) + 0.5).alias(
+            "span_end"
+        ),
+    )
+    return sample_points(src, interval=1.0)
+
+
+EVENTS_FRAME_SAMPLES_SQL = """
+WITH s AS (
+  SELECT event_id,
+         (event_id % 7) * 1.5 AS span_start,
+         (event_id % 7) * 1.5 + (event_id % 4) + 0.5 AS span_end
+  FROM events
+), e AS (
+  SELECT *, unnest(generate_series(0,
+           greatest(CAST(floor((span_end - span_start) / 1.0) AS BIGINT), 0)))
+           AS i
+  FROM s
+)
+SELECT event_id, span_start, span_end, span_start + i * 1.0 AS sample_t
+FROM e WHERE span_start + i * 1.0 <= span_end
+"""
+
+
+def docs_joint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 joint-novelty dedup under the gate: a doc survives only if novel
+    under BOTH detectors — n-gram Jaccard (bigram, ≥0.25, df-cap 50) and
+    SimHash (Hamming ≤8) — keep-first (drop id_b of any pair). Composes the
+    two already-oracled pair queries, so the oracle replays the union."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.joint_neardup_dedup(
+        docs, jaccard_threshold=0.25, max_hamming=8, n=2, max_df=50
+    ).select("doc_id")
+
+
+DOCS_JOINT_NEARDUP_SQL = f"""
+WITH ng AS ({DOCS_NGRAM_NEARDUP_SQL}), sh AS ({DOCS_SIMHASH_SQL})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM ng UNION SELECT id_b FROM sh)
+"""
+
+
+def docs_keep_top_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 percentile keep-ratio under the gate (exact percent_rank path;
+    the approx percentile path is the scale default, pytest-verified):
+    keep the longest 30% of documents. Rank ties resolve identically in
+    both engines (rank-based percent_rank)."""
+    from dataflow_mm_spark.operators.topk import keep_top_ratio
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("score")
+    )
+    return keep_top_ratio(docs, "score", keep_ratio=0.3, exact=True)
+
+
+DOCS_KEEP_TOP_SQL = """
+SELECT doc_id, score FROM (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS score,
+         percent_rank() OVER (ORDER BY CAST(length(text) AS DOUBLE) DESC) AS pr
+  FROM documents
+) WHERE pr <= 0.3
+"""
+
+
+def events_motion_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 VideoMotionScore analogue under the gate: per user, mean absolute
+    step delta of the metric over event order (ordered-lag pattern,
+    int64-quantized deltas)."""
+    from dataflow_mm_spark.operators.cep import ordered_lag_score
+
+    ev = _t(spark, sf_dir, "events")
+    return ordered_lag_score(ev)
+
+
+EVENTS_MOTION_SCORE_SQL = """
+WITH d AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events
+)
+SELECT user_id, count(*) AS n_steps,
+       SUM(CAST(round(abs(value - prev) * 1000) AS BIGINT)) / 1000.0
+         / count(*) AS motion_score
+FROM d WHERE prev IS NOT NULL GROUP BY user_id
+"""
+
+
+def docs_visual_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15/F16 VisualDependencyRefiner shape under the gate: 3 rollouts per
+    question (explode fan-out, per-rollout prompt variation) → serving echo →
+    deterministic A/B/C judge → per-question accuracy aggregate → dependency
+    label. Reference: core_vision/refine/visual_dependency_refiner.py
+    (fan-out → judge → aggregate)."""
+    from dataflow_mm_spark.operators.generate import prompted_generator
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.format_string(
+            "Q%d: describe %s", F.col("doc_id"), F.substring(F.md5("text"), 1, 10)
+        ).alias("question"),
+    )
+    fan = src.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("rollout_i")
+    ).withColumn(
+        "_prompt",
+        F.concat(F.col("question"), F.lit(" "), F.expr("repeat('y', rollout_i)")),
+    )
+    rolled = prompted_generator(
+        fan, prompt_col="_prompt", output_col="_rollout",
+        batch_size=16, concurrency=4,
+    )
+    judged = prompted_generator(
+        rolled.withColumn(
+            "_jp",
+            F.concat_ws("\n", F.lit("Judge A/B/C:"), F.col("question"), F.col("_rollout")),
+        ),
+        lambda: _grade_serving,
+        prompt_col="_jp",
+        output_col="_judgment",
+    )
+    correct = (
+        F.regexp_extract("_judgment", r"<grade>([ABC])</grade>", 1) == "A"
+    ).cast("int")
+    agg = judged.groupBy("doc_id", "question").agg(
+        F.count(F.lit(1)).cast("int").alias("n_rollouts"),
+        F.sum(correct).cast("int").alias("n_correct"),
+    )
+    label = (
+        F.when(F.col("n_correct") == 0, "dependent")
+        .when(F.col("n_correct") == F.col("n_rollouts"), "independent")
+        .otherwise("partial")
+    )
+    return agg.select("doc_id", "question", "n_rollouts", "n_correct", label.alias("label"))
+
+
+DOCS_VISUAL_DEP_SQL = """
+WITH q AS (
+  SELECT doc_id,
+         'Q' || doc_id || ': describe ' || substr(md5(text), 1, 10) AS question
+  FROM documents
+), fan AS (
+  SELECT doc_id, question, unnest(generate_series(0, 2)) AS i FROM q
+), r AS (
+  SELECT *, question || ' ' || repeat('y', CAST(i AS INT)) AS prompt FROM fan
+), rolled AS (
+  SELECT *, '<answer> echo:' || length(prompt) || ':' || substr(prompt, 1, 32)
+            || ' </answer>' AS rollout
+  FROM r
+), j AS (
+  SELECT *, 'Judge A/B/C:' || chr(10) || question || chr(10) || rollout AS jp
+  FROM rolled
+), g AS (
+  SELECT doc_id, question,
+         CASE WHEN substr('ABC', CAST(length(jp) % 3 AS INT) + 1, 1) = 'A'
+              THEN 1 ELSE 0 END AS correct
+  FROM j
+), agg AS (
+  SELECT doc_id, question,
+         CAST(count(*) AS INT) AS n_rollouts,
+         CAST(sum(correct) AS INT) AS n_correct
+  FROM g GROUP BY doc_id, question
+)
+SELECT doc_id, question, n_rollouts, n_correct,
+       CASE WHEN n_correct = 0 THEN 'dependent'
+            WHEN n_correct = n_rollouts THEN 'independent'
+            ELSE 'partial' END AS label
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1928,6 +2109,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_batch_generate": docs_batch_generate,
     "docs_rollout_judge": docs_rollout_judge,
     "docs_mcts_chains": docs_mcts_chains,
+    "events_frame_samples": events_frame_samples,
+    "docs_joint_neardup": docs_joint_neardup,
+    "docs_keep_top_ratio": docs_keep_top_ratio,
+    "events_motion_score": events_motion_score,
+    "docs_visual_dependency": docs_visual_dependency,
 }
 
 ORACLES: dict[str, str] = {
@@ -1976,6 +2162,11 @@ ORACLES: dict[str, str] = {
     "docs_batch_generate": DOCS_BATCH_GEN_SQL,
     "docs_rollout_judge": DOCS_ROLLOUT_JUDGE_SQL,
     "docs_mcts_chains": DOCS_MCTS_SQL,
+    "events_frame_samples": EVENTS_FRAME_SAMPLES_SQL,
+    "docs_joint_neardup": DOCS_JOINT_NEARDUP_SQL,
+    "docs_keep_top_ratio": DOCS_KEEP_TOP_SQL,
+    "events_motion_score": EVENTS_MOTION_SCORE_SQL,
+    "docs_visual_dependency": DOCS_VISUAL_DEP_SQL,
 }
 
 
