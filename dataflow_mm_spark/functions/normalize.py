@@ -247,11 +247,12 @@ def _try_number(toks: list[str], i: int):
     return str(n), j
 
 
-# Whisper-style currency subset (EnglishNumberNormalizer behavior): a
-# rendered number followed by a currency word takes its symbol prefix
-# ("three dollars" → "$3"); "$A and ¢B" merges to "$A.BB" (cents
-# zero-padded). "and a half" / sub-dollar $0.xx extraction stay out of
-# scope (documented).
+# Whisper-style post-passes (EnglishNumberNormalizer behavior):
+# * "N and a half" → N.5 (integers only — "3.2 and a half" passes through);
+# * a rendered number followed by a currency word takes its symbol prefix
+#   ("three dollars" → "$3"); "$A and ¢B" merges to "$A.BB" (cents
+#   zero-padded). Sub-dollar $0.xx extraction stays out of scope
+#   (documented).
 _CURRENCY_RE = None
 
 
@@ -261,11 +262,13 @@ def _currency_post(s: str) -> str:
     global _CURRENCY_RE
     if _CURRENCY_RE is None:
         _CURRENCY_RE = (
+            re.compile(r"(?<![\w.$£¢])(\d+) and a half\b"),
             re.compile(r"(?<![\w.$£¢])(\d+(?:\.\d+)?) (dollars?|pounds?)(?!\w)"),
             re.compile(r"(?<![\w.$£¢])(\d+(?:\.\d+)?) (cents?|pence)(?!\w)"),
             re.compile(r"([$£])(\d+) and [¢p](\d{1,2})(?!\d)"),
         )
-    big, small, merge = _CURRENCY_RE
+    half, big, small, merge = _CURRENCY_RE
+    s = half.sub(lambda m: m.group(1) + ".5", s)
     s = big.sub(lambda m: ("$" if m.group(2)[0] == "d" else "£") + m.group(1), s)
     s = small.sub(lambda m: ("¢" if m.group(2)[0] == "c" else "p") + m.group(1), s)
     s = merge.sub(lambda m: f"{m.group(1)}{m.group(2)}.{int(m.group(3)):02d}", s)

@@ -202,8 +202,25 @@ def _is_num(t: str) -> bool:
 
 
 def _currency_tokens(toks: list[str]) -> list[str]:
-    """Token-scan currency pass (vs the kernel's regex post-pass): number +
-    currency word → symbol prefix, then '$A and ¢B' triple → '$A.BB'."""
+    """Token-scan post passes (vs the kernel's regex form): 'N and a half'
+    quadruple → N.5 (integers only), then number + currency word → symbol
+    prefix, then '$A and ¢B' triple → '$A.BB'."""
+    halved: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (
+            i + 3 < len(toks)
+            and toks[i].isdigit()
+            and toks[i + 1] == "and"
+            and toks[i + 2] == "a"
+            and toks[i + 3] == "half"
+        ):
+            halved.append(toks[i] + ".5")
+            i += 4
+            continue
+        halved.append(toks[i])
+        i += 1
+    toks = halved
     res: list[str] = []
     i = 0
     while i < len(toks):

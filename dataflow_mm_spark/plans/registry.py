@@ -1114,6 +1114,8 @@ _NUMWORD_PHRASES = [
     "two pounds and six pence",
     "one million dollars",
     "cents on the dollar",
+    "three and a half hours",
+    "two dollars and a half",
 ]
 from dataflow_mm_spark.oracles.reading_oracle import (  # noqa: E402
     en_number_words as _oracle_en_words,

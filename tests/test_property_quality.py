@@ -206,7 +206,7 @@ def test_en_number_words_vs_reading_oracle_fuzz():
         "hundred", "thousand", "million", "trillion", "and", "point", "zero",
         "first", "twelfth", "twentieth", "hundredth", "thousandth",
         "apples", "the", "score",
-        "dollars", "dollar", "cents", "cent", "pounds", "pence",
+        "dollars", "dollar", "cents", "cent", "pounds", "pence", "a", "half",
     ]
     rng = random.Random(13)
     for _ in range(20000):

@@ -137,12 +137,22 @@ def main() -> None:
                 for pr in procs:
                     so, _ = pr.communicate(timeout=1800)
                     cells.append(parse_tps(so))
-                csum = sum(c["tps"] for c in cells if c and c["tps"])
-                eff = round(csum / (4 * alone["tps"]), 3) if alone and alone["tps"] else None
+                # sustained tps when every cell has steady batches (needs
+                # mft < files/shard); wall tps fallback otherwise — the two
+                # are never mixed within one efficiency ratio
+                use_tps = bool(
+                    alone and alone["tps"]
+                    and all(c and c["tps"] for c in cells)
+                )
+                key_ = "tps" if use_tps else "wall_tps"
+                csum = sum(c[key_] for c in cells if c and c[key_])
+                base = alone and alone[key_]
+                eff = round(csum / (4 * base), 3) if base else None
                 rec = {
+                    "metric": key_,
                     "alone_tps": alone and alone["tps"],
                     "alone_wall_tps": alone and alone["wall_tps"],
-                    "concurrent_tps": [c and c["tps"] for c in cells],
+                    "concurrent_tps": [c and c[key_] for c in cells],
                     "concurrent_sum_tps": round(csum, 1),
                     "efficiency": eff,
                     "load_alone": round(load, 2),
