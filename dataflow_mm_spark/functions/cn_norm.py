@@ -186,3 +186,119 @@ def cn_normalize_numbers_py(text: str | None) -> str | None:
 def cn_normalize_numbers(texts: pd.Series) -> pd.Series:
     """Arrow-vectorized column form of :func:`cn_normalize_numbers_py`."""
     return texts.map(cn_normalize_numbers_py)
+
+
+# --- TextNorm option flags (cn_tn.py:1056-1114 pipeline) --------------------
+# Order matches the reference __call__: banjiao → case → fillers → erhua →
+# number normalization → punctuation strip → space collapse.
+
+# full-width (全角) printable ASCII block + ideographic space → half-width
+_QJ2BJ_TABLE = str.maketrans(
+    {chr(0xFF01 + i): chr(0x21 + i) for i in range(0x5E)} | {"　": " "}
+)
+
+FILLER_CHARS = ("呃", "啊")  # cn_tn.py:31
+
+# words whose 儿 is a real morpheme, not erhua colouring (cn_tn.py:33-37
+# documents the rule; this list carries the common members — extend via the
+# ``er_whitelist`` argument for corpus-specific vocabulary)
+ER_WHITELIST = (
+    "儿女", "儿子", "儿孙", "女儿", "儿媳", "妻儿", "胎儿", "婴儿",
+    "新生儿", "婴幼儿", "幼儿", "少儿", "小儿", "儿歌", "儿童", "儿科",
+    "托儿所", "孤儿", "儿戏", "儿化",
+)
+
+_CN_PUNCS = "，。！？；：、“”‘’【】《》（）,.!?;:\"'[]<>()"
+_PUNCS_TABLE = str.maketrans("", "", _CN_PUNCS)
+
+
+def remove_erhua_py(text: str, whitelist: tuple[str, ...] = ER_WHITELIST) -> str:
+    """Drop 儿 characters that are erhua colouring, keeping every 儿 inside
+    an occurrence of a whitelisted true-morpheme word
+    (他女儿在那边儿 → 他女儿在那边)."""
+    keep: set[int] = set()
+    for w in whitelist:
+        start = text.find(w)
+        while start != -1:
+            keep.update(range(start, start + len(w)))
+            start = text.find(w, start + 1)
+    return "".join(c for i, c in enumerate(text) if c != "儿" or i in keep)
+
+
+def _is_en_char(c: str) -> bool:
+    return c.isascii() and (c.isalnum() or c == "'")
+
+
+def remove_space_py(text: str) -> str:
+    """Collapse whitespace, keeping ONE space only between two latin/digit
+    tokens (cn_tn remove_space: CJK text carries no spaces, inter-English
+    spacing survives)."""
+    toks = text.split()
+    parts: list[str] = []
+    for k, t in enumerate(toks):
+        if k and _is_en_char(toks[k - 1][-1]) and _is_en_char(t[0]):
+            parts.append(" ")
+        parts.append(t)
+    return "".join(parts)
+
+
+def cn_text_norm_py(
+    text: str | None,
+    to_banjiao: bool = False,
+    to_upper: bool = False,
+    to_lower: bool = False,
+    remove_fillers: bool = False,
+    remove_erhua: bool = False,
+    remove_space: bool = False,
+    er_whitelist: tuple[str, ...] = ER_WHITELIST,
+) -> str | None:
+    """cn_tn TextNorm pipeline (cn_tn.py:1081-1114 order) over the engine's
+    number-reading subset. check_chars and OpenCC traditional/simplified
+    conversion stay out of scope (documented; the latter needs the opencc
+    package)."""
+    if text is None:
+        return None
+    if to_banjiao:
+        text = text.translate(_QJ2BJ_TABLE)
+    if to_upper:
+        text = text.upper()
+    if to_lower:
+        text = text.lower()
+    if remove_fillers:
+        for c in FILLER_CHARS:
+            text = text.replace(c, "")
+    if remove_erhua:
+        text = remove_erhua_py(text, er_whitelist)
+    text = cn_normalize_numbers_py(text)
+    text = text.translate(_PUNCS_TABLE)
+    if remove_space:
+        text = remove_space_py(text)
+    return text
+
+
+def cn_text_norm(
+    to_banjiao: bool = False,
+    to_upper: bool = False,
+    to_lower: bool = False,
+    remove_fillers: bool = False,
+    remove_erhua: bool = False,
+    remove_space: bool = False,
+):
+    """Column form: returns an Arrow-vectorized UDF configured with the
+    given flags (mirrors TextNormalizer(language='zh', **kwargs))."""
+
+    @pandas_udf(T.StringType())
+    def norm(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: cn_text_norm_py(
+                t,
+                to_banjiao=to_banjiao,
+                to_upper=to_upper,
+                to_lower=to_lower,
+                remove_fillers=remove_fillers,
+                remove_erhua=remove_erhua,
+                remove_space=remove_space,
+            )
+        )
+
+    return norm

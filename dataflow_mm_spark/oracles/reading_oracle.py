@@ -369,3 +369,53 @@ def cn_token(token: str) -> str:
     else:
         body = cn_int(int(t))
     return sign + ("百分之" + body if pct else body) + unit
+
+
+# --- cn_tn TextNorm pipeline twin (regex-shaped vs the kernel's scan/table
+# forms): banjiao → case → fillers → erhua → numbers → puncs → spaces ------
+
+_ORACLE_ER_WHITELIST = (
+    "儿女", "儿子", "儿孙", "女儿", "儿媳", "妻儿", "胎儿", "婴儿",
+    "新生儿", "婴幼儿", "幼儿", "少儿", "小儿", "儿歌", "儿童", "儿科",
+    "托儿所", "孤儿", "儿戏", "儿化",
+)
+
+
+def cn_text_norm(
+    text: str,
+    to_banjiao: bool = False,
+    to_upper: bool = False,
+    to_lower: bool = False,
+    remove_fillers: bool = False,
+    remove_erhua: bool = False,
+    remove_space: bool = False,
+) -> str:
+    import re
+
+    if to_banjiao:
+        text = "".join(
+            chr(ord(c) - 0xFEE0) if 0xFF01 <= ord(c) <= 0xFF5E
+            else (" " if c == "　" else c)
+            for c in text
+        )
+    if to_upper:
+        text = text.upper()
+    if to_lower:
+        text = text.lower()
+    if remove_fillers:
+        text = re.sub("[呃啊]", "", text)
+    if remove_erhua:
+        keep: set[int] = set()
+        for w in _ORACLE_ER_WHITELIST:
+            for m in re.finditer(re.escape(w), text):
+                keep.update(range(m.start(), m.end()))
+        text = "".join(
+            c for i, c in enumerate(text) if c != "儿" or i in keep
+        )
+    text = cn_text(text)
+    text = re.sub("[，。！？；：、“”‘’【】《》（）,.!?;:\"'\\[\\]<>()]", "", text)
+    if remove_space:
+        text = re.sub(r"\s+", " ", text).strip()
+        # keep a space only between latin/digit neighbours
+        text = re.sub(r"(?<![A-Za-z0-9']) | (?![A-Za-z0-9'])", "", text)
+    return text

@@ -2063,6 +2063,66 @@ FROM agg
 """
 
 
+# cn_tn TextNorm full-pipeline fixtures: banjiao folding, filler removal,
+# whitelisted-儿 erhua stripping, number reading, punctuation strip, CJK
+# space collapse — expected strings derive from the independent
+# reading_oracle twin (regex-shaped vs the kernel's scan/table forms).
+_CN_TEXTNORM_FIXTURES = [
+    "他女儿在那边儿 共12条",
+    "呃 这是１２３ 啊!",
+    "ＡＢＣ　ｄｅｆ 123",
+    "hello 世界 world 42",
+    "托儿所有5个孩儿",
+    "那个味儿不错，真的",
+    "儿童节是6月1日",
+    "A B 中 文 C D",
+    "孤儿院的新生儿，第1/3批",
+    "电话０２１-８７６５４３２１ 快记下",
+    "价格-3.5kg 啊呃 降了0.5%",
+    "（括号）【方括】《书名》说：完儿了",
+]
+
+
+def docs_cn_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 TextNormalizer zh full pipeline under the gate (TextNorm flags:
+    to_banjiao + to_lower + remove_fillers + remove_erhua + remove_space,
+    cn_tn.py:1081-1114 order) over the 12-shape fixture family; expected
+    strings derive from the independent reading_oracle twin."""
+    from dataflow_mm_spark.functions.cn_norm import cn_text_norm
+
+    n = len(_CN_TEXTNORM_FIXTURES)
+    raw = F.element_at(
+        F.array(*[F.lit(s) for s in _CN_TEXTNORM_FIXTURES]),
+        (F.col("doc_id") % n + 1).cast("int"),
+    )
+    norm = cn_text_norm(
+        to_banjiao=True, to_lower=True, remove_fillers=True,
+        remove_erhua=True, remove_space=True,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", raw.alias("_t"))
+    return docs.select("doc_id", norm(F.col("_t")).alias("norm"))
+
+
+from dataflow_mm_spark.oracles.reading_oracle import (  # noqa: E402
+    cn_text_norm as _oracle_cn_text_norm,
+)
+
+_CN_TEXTNORM_EXPECTED = [
+    _oracle_cn_text_norm(
+        t, to_banjiao=True, to_lower=True, remove_fillers=True,
+        remove_erhua=True, remove_space=True,
+    )
+    for t in _CN_TEXTNORM_FIXTURES
+]
+
+DOCS_CN_TEXTNORM_SQL = (
+    "SELECT doc_id, (["
+    + ", ".join("'" + r.replace("'", "''") + "'" for r in _CN_TEXTNORM_EXPECTED)
+    + f"])[CAST(doc_id % {len(_CN_TEXTNORM_FIXTURES)} AS INT) + 1] AS norm"
+    " FROM documents"
+)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2116,6 +2176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_keep_top_ratio": docs_keep_top_ratio,
     "events_motion_score": events_motion_score,
     "docs_visual_dependency": docs_visual_dependency,
+    "docs_cn_textnorm": docs_cn_textnorm,
 }
 
 ORACLES: dict[str, str] = {
@@ -2169,6 +2230,7 @@ ORACLES: dict[str, str] = {
     "docs_keep_top_ratio": DOCS_KEEP_TOP_SQL,
     "events_motion_score": EVENTS_MOTION_SCORE_SQL,
     "docs_visual_dependency": DOCS_VISUAL_DEP_SQL,
+    "docs_cn_textnorm": DOCS_CN_TEXTNORM_SQL,
 }
 
 

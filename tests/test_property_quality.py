@@ -236,3 +236,29 @@ def test_cn_readings_vs_reading_oracle_fuzz():
     ]
     for t in texts:
         assert cn_normalize_numbers_py(t) == RO.cn_text(t), t
+
+
+def test_cn_textnorm_pipeline_vs_reading_oracle_fuzz():
+    """cn_tn TextNorm flag pipeline (banjiao/case/fillers/erhua/numbers/
+    puncs/spaces): kernel == independent regex-shaped oracle twin over
+    random CJK/latin/quanjiao soup."""
+    import random
+
+    from dataflow_mm_spark.functions.cn_norm import cn_text_norm_py
+    from dataflow_mm_spark.oracles.reading_oracle import cn_text_norm
+
+    vocab = list("儿女子孙媳妻胎婴幼少小歌童科所孤戏化呃啊的是在不了一二三　 ") + [
+        "女儿", "儿子", "托儿所", "味儿", "123", "１２３", "45%", "3.14",
+        "hello", "ＡＢ", "x", "$9", " ", "，", "。", "(", ")", "2024年",
+        "1/3", "边儿", "13812345678",
+    ]
+    kw = dict(to_banjiao=True, to_lower=True, remove_fillers=True,
+              remove_erhua=True, remove_space=True)
+    rng = random.Random(3)
+    for _ in range(8000):
+        t = "".join(rng.choice(vocab) for _ in range(rng.randrange(0, 14)))
+        assert cn_text_norm_py(t, **kw) == cn_text_norm(t, **kw), repr(t)
+    # flags off = pure number normalization path
+    for _ in range(2000):
+        t = "".join(rng.choice(vocab) for _ in range(rng.randrange(0, 10)))
+        assert cn_text_norm_py(t) == cn_text_norm(t), repr(t)
