@@ -106,23 +106,11 @@ def main() -> None:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
-    # key order matters: the driver's capture may keep only a prefix of the
-    # line, so metric/value/queries go FIRST and bulky evidence is reduced to
-    # a summary + file pointer (full blob lives in tools/scaling_latest.json)
-    result = {
-        "metric": "turns_per_sec_sustained",
-        "value": stream.get("turns_per_sec_sustained") or stream["turns_per_sec"],
-        "unit": "turns/sec",
-        "queries": queries,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cpus": int(cpus),
-        "total_query_sec": round(sum(queries.values()), 2),
-        "stream": stream,
-    }
     from dataflow_mm_spark.session import runtime_gc
 
-    result["gc"] = runtime_gc(spark)  # detect silently-ignored GC flag
+    gc = runtime_gc(spark)  # detect silently-ignored GC flag
     # latest committed two-parallelism scaling evidence (tools/bench_scaling.py)
+    scaling = None
     snap = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "scaling_latest.json")
     if os.path.exists(snap):
@@ -135,12 +123,50 @@ def main() -> None:
             ).items()
             if isinstance(v, dict) and "efficiency" in v
         }
-        result["scaling"] = {
+        scaling = {
             "executor_model_efficiency": eff,
             "date": blob.get("date"),
             "detail": "tools/scaling_latest.json",
         }
-    print(json.dumps(result))
+
+    # full-fidelity record for the repo/judge
+    full = {
+        "metric": "turns_per_sec_sustained",
+        "value": stream.get("turns_per_sec_sustained") or stream["turns_per_sec"],
+        "unit": "turns/sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        "total_query_sec": round(sum(queries.values()), 2),
+        "stream": stream,
+        "gc": gc,
+        "scaling": scaling,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    # the driver keeps only the LAST ~2000 bytes of stdout and parses the
+    # final line — the printed line must be COMPLETE within that window or
+    # per-query numbers are lost (r3: parsed=null). Compact encoding + a
+    # size guard that sheds optional keys; full detail is in bench_full.json.
+    result = dict(full)
+    result["queries"] = {k: round(v, 2) for k, v in queries.items()}
+    result["stream"] = {
+        "n_turns": stream["n_turns"],
+        "cep_tps": stream["cep_turns_per_sec"],
+        "win_tps": stream["window_turns_per_sec"],
+    }
+    if scaling:
+        result["scaling"] = scaling["executor_model_efficiency"]
+    result["detail"] = "bench_full.json"
+    line = json.dumps(result, separators=(",", ":"))
+    for shed in ("gc", "scaling", "stream", "total_query_sec"):
+        if len(line) <= 1900:
+            break
+        result.pop(shed, None)
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -2123,6 +2123,176 @@ DOCS_CN_TEXTNORM_SQL = (
 )
 
 
+def docs_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 ScoreFilter under the gate (score_filter.py:37-84 semantics):
+    non-destructive ``min ≤ score ≤ max`` range predicate writing a boolean
+    ``select`` column. The score itself is the portable 60-bit hash scaled
+    to [0,1) — in deployment it is any upstream evaluator's column; the
+    operator under test is the range predicate, which is pure Catalyst."""
+    from dataflow_mm_spark.operators.filters import score_filter
+    from dataflow_mm_spark.plans.portable import phash
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        ((phash("aes", F.col("text")) % 10000) / 10000.0).alias("score"),
+    )
+    return score_filter(scored, "score", min_score=0.2, max_score=0.8)
+
+
+from dataflow_mm_spark.plans.portable import phash_sql as _phash_sql  # noqa: E402
+
+DOCS_SCORE_FILTER_SQL = f"""
+SELECT doc_id,
+       ({_phash_sql('aes', 'text')} % 10000) / 10000.0 AS score,
+       (({_phash_sql('aes', 'text')} % 10000) / 10000.0) BETWEEN 0.2 AND 0.8
+         AS "select"
+FROM documents
+"""
+
+
+def docs_functional_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 FunctionalRefiner under the gate (functional_refiner.py:47-66):
+    an arbitrary user Python callable applied as an Arrow-vectorized column
+    transform — here whitespace-collapse + lowercase + 120-char clip +
+    appended word count, replayed exactly in SQL by the oracle."""
+    from dataflow_mm_spark.operators.filters import functional_refiner
+
+    def refine(s: str) -> str:
+        parts = s.split()
+        return " ".join(parts).lower()[:120] + "|" + str(len(parts))
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", functional_refiner(refine)(F.col("text")).alias("refined")
+    )
+
+
+DOCS_FUNCTIONAL_REFINE_SQL = r"""
+WITH c AS (
+  SELECT doc_id, regexp_replace(trim(text), '[ \t\r\n]+', ' ', 'g') AS t
+  FROM documents
+)
+SELECT doc_id,
+       lower(substr(t, 1, 120)) || '|' ||
+       CAST(CASE WHEN t = '' THEN 0
+                 ELSE length(t) - length(replace(t, ' ', '')) + 1
+            END AS VARCHAR) AS refined
+FROM c
+"""
+
+
+def _len_score_serving(prompts: list[str]) -> list[str]:
+    """Deterministic scoring-model stand-in (CLIP/NLI/aesthetic kernels):
+    integer score 0-100 from prompt length — SQL-replicable, zero float
+    summation ambiguity."""
+    return [str(len(p) * 37 % 101) for p in prompts]
+
+
+def docs_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7-F12 scoring-model threshold-filter family under the gate
+    (ImageAesthetic/CLIPScore/NLI filters, e.g.
+    core_vision/filter/clip_score_filter.py): build a scoring prompt per
+    (text, image-ref) pair → batched serving call (deterministic integer
+    stand-in; a real deployment passes the model client factory) → parse
+    numeric score → destructive threshold filter. The Spark plumbing —
+    mapInPandas serving fan-out, try_cast parse, predicate — is the real
+    operator path."""
+    from dataflow_mm_spark.operators.generate import prompted_generator
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.format_string(
+            "CLIPScore: %s | img#%d %s",
+            F.substring(F.md5("text"), 1, 12),
+            F.col("doc_id"),
+            F.repeat(F.lit("p"), (F.col("doc_id") % 17).cast("int")),
+        ).alias("_prompt"),
+    )
+    scored = prompted_generator(
+        src, lambda: _len_score_serving, prompt_col="_prompt",
+        output_col="_raw", batch_size=32,
+    )
+    score = (F.col("_raw").try_cast("int") / 100.0).alias("clip_score")
+    return (
+        scored.select("doc_id", score)
+        .filter(F.col("clip_score") >= 0.3)
+    )
+
+
+DOCS_CLIP_SCORE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'CLIPScore: ' || substr(md5(text), 1, 12) || ' | img#' || doc_id
+         || ' ' || repeat('p', CAST(doc_id % 17 AS INT)) AS prompt
+  FROM documents
+)
+SELECT doc_id, (length(prompt) * 37 % 101) / 100.0 AS clip_score
+FROM p WHERE (length(prompt) * 37 % 101) / 100.0 >= 0.3
+"""
+
+
+def events_clip_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-A6 per-clip evaluator family under the gate (per-clip score-model
+    call → per-video aggregate, e.g. video_clip_evaluator shapes): clips
+    fan out per event (explode), each clip gets a scoring-serving call
+    (deterministic integer stand-in), scores aggregate per event as integer
+    sum + count (float-exact), keep events whose mean clip score ≥ 30."""
+    from dataflow_mm_spark.operators.generate import prompted_generator
+
+    ev = _t(spark, sf_dir, "events")
+    fan = ev.select(
+        "event_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("event_id") % 4).cast("int"))
+        ).alias("i"),
+    ).withColumn(
+        "_prompt",
+        F.format_string(
+            "clip %d/%d pad %s",
+            F.col("i"),
+            F.col("event_id"),
+            F.repeat(F.lit("q"), ((F.col("event_id") + F.col("i")) % 11).cast("int")),
+        ),
+    )
+    scored = prompted_generator(
+        fan, lambda: _len_score_serving, prompt_col="_prompt",
+        output_col="_raw", batch_size=64,
+    )
+    agg = scored.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_clips"),
+        F.sum(F.col("_raw").try_cast("bigint")).alias("_sum"),
+    )
+    return (
+        agg.select(
+            "event_id", "n_clips",
+            (F.col("_sum") / F.col("n_clips")).alias("avg_clip_score"),
+        )
+        .filter(F.col("avg_clip_score") >= 30.0)
+    )
+
+
+EVENTS_CLIP_EVAL_SQL = """
+WITH fan AS (
+  SELECT event_id, unnest(generate_series(0, event_id % 4)) AS i
+  FROM events
+), p AS (
+  SELECT event_id,
+         'clip ' || i || '/' || event_id || ' pad '
+         || repeat('q', CAST((event_id + i) % 11 AS INT)) AS prompt
+  FROM fan
+), s AS (
+  SELECT event_id, length(prompt) * 37 % 101 AS score FROM p
+), agg AS (
+  SELECT event_id, CAST(count(*) AS INT) AS n_clips,
+         CAST(sum(score) AS BIGINT) AS s FROM s GROUP BY event_id
+)
+SELECT event_id, n_clips, s / n_clips AS avg_clip_score
+FROM agg WHERE s / n_clips >= 30.0
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2177,6 +2347,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_motion_score": events_motion_score,
     "docs_visual_dependency": docs_visual_dependency,
     "docs_cn_textnorm": docs_cn_textnorm,
+    "docs_score_filter": docs_score_filter,
+    "docs_functional_refine": docs_functional_refine,
+    "docs_clip_score_filter": docs_clip_score_filter,
+    "events_clip_eval": events_clip_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -2231,6 +2405,10 @@ ORACLES: dict[str, str] = {
     "events_motion_score": EVENTS_MOTION_SCORE_SQL,
     "docs_visual_dependency": DOCS_VISUAL_DEP_SQL,
     "docs_cn_textnorm": DOCS_CN_TEXTNORM_SQL,
+    "docs_score_filter": DOCS_SCORE_FILTER_SQL,
+    "docs_functional_refine": DOCS_FUNCTIONAL_REFINE_SQL,
+    "docs_clip_score_filter": DOCS_CLIP_SCORE_SQL,
+    "events_clip_eval": EVENTS_CLIP_EVAL_SQL,
 }
 
 

@@ -508,6 +508,56 @@ def test_jdbc_write_warehouse_row_shape(spark, tmp_path):
     assert _json.loads(back[0].data)["text"] == "hello world"
 
 
+def test_jdbc_roundtrip_real_driver_derby(spark, tmp_path):
+    """S4+S5 through a REAL JDBC driver end-to-end: Spark ships embedded
+    Apache Derby (pyspark/jars/derby-*.jar), so the warehouse write →
+    partitioned parallel read path runs against an actual SQL database, not
+    a parquet stand-in — executor-side INSERTs, dialect type mapping, and
+    the partitionColumn WHERE-range scan are all exercised for real.
+    ``array_format='json'`` because Derby (like H2) has no ARRAY column
+    type; ClickHouse/MyScale deployments keep the native array<bigint> path
+    (test above). Reference: MyScaleDBStorage paged read/write,
+    dataflow/utils/storage.py:188-235,389-432."""
+    import json as _json
+
+    from dataflow_mm_spark.sources.io import jdbc_read, jdbc_write
+
+    url = f"jdbc:derby:{tmp_path}/whdb;create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "user" if i % 2 else "tool") for i in range(40)],
+        "rid long, text string, role string",
+    )
+    jdbc_write(
+        df, url=url, table="wh_rows", pipeline_id="p1", task_id="t7",
+        raw_data_id_col="rid", array_format="json", **drv,
+    )
+
+    back = jdbc_read(
+        spark, url, "wh_rows",
+        partition_column="raw_data_id", num_partitions=4,
+        lower_bound=0, upper_bound=40, **drv,
+    )
+    # the ranged scan is genuinely partitioned (4 concurrent JDBC cursors)
+    assert back.rdd.getNumPartitions() == 4
+    rows = back.orderBy("raw_data_id").collect()
+    assert [r.raw_data_id for r in rows] == list(range(40))
+    assert {r.pipeline_id for r in rows} == {"p1"}
+    for r in rows[:3]:
+        sig = _json.loads(r.min_hashes)
+        assert len(sig) == 16 and all(
+            isinstance(h, int) and 0 <= h < 2**60 for h in sig
+        )
+        assert _json.loads(r.data)["text"] == f"doc {r.raw_data_id}"
+    # appending again doubles the table (reference write semantics: append)
+    jdbc_write(
+        df.limit(5), url=url, table="wh_rows", pipeline_id="p2", task_id="t8",
+        raw_data_id_col="rid", array_format="json", **drv,
+    )
+    n = jdbc_read(spark, url, "wh_rows", **drv).count()
+    assert n == 45
+
+
 def test_operator_name_shim():
     from dataflow_mm_spark.registry import OPERATOR_REGISTRY, get_operator
 
