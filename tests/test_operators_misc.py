@@ -508,7 +508,7 @@ def test_jdbc_write_warehouse_row_shape(spark, tmp_path):
     assert _json.loads(back[0].data)["text"] == "hello world"
 
 
-def test_jdbc_roundtrip_real_driver_derby(spark, tmp_path):
+def test_jdbc_real_roundtrip_derby(spark, tmp_path):
     """S4+S5 through a REAL JDBC driver end-to-end: Spark ships embedded
     Apache Derby (pyspark/jars/derby-*.jar), so the warehouse write →
     partitioned parallel read path runs against an actual SQL database, not
