@@ -2293,6 +2293,57 @@ FROM agg WHERE s / n_clips >= 30.0
 """
 
 
+def events_timecodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 timecode ⇄ seconds ⇄ frame-index kernel trio under the gate
+    (video_scene_filter.py:71-91): deterministic HH:MM:SS.mmm strings per
+    event → parse (base-60 left-fold) → integer total-ms (float-exact per
+    the repo rule) → 25fps frame ordinal → re-format round-trip. The oracle
+    computes everything closed-form from the same components, so any parse
+    or format defect hash-mismatches."""
+    from dataflow_mm_spark.functions.timeutil import (
+        frame_index,
+        seconds_to_timecode,
+        timecode_to_seconds,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    tc = F.format_string(
+        "%02d:%02d:%02d.%03d",
+        (F.col("event_id") % 3).cast("int"),
+        (F.col("event_id") % 59).cast("int"),
+        (F.col("event_id") % 53).cast("int"),
+        (F.col("event_id") % 997).cast("int"),
+    )
+    src = ev.select("event_id", tc.alias("tc"))
+    sec = timecode_to_seconds(F.col("tc"))
+    return src.select(
+        "event_id",
+        "tc",
+        F.round(sec * 1000).cast("bigint").alias("ms_total"),
+        frame_index(sec, fps=25).alias("frame25"),
+        seconds_to_timecode(sec).alias("tc_roundtrip"),
+    )
+
+
+EVENTS_TIMECODES_SQL = """
+WITH c AS (
+  SELECT event_id,
+         CAST(event_id % 3 AS INT) AS h, CAST(event_id % 59 AS INT) AS m,
+         CAST(event_id % 53 AS INT) AS s, CAST(event_id % 997 AS INT) AS ms
+  FROM events
+), t AS (
+  SELECT event_id,
+         printf('%02d:%02d:%02d.%03d', h, m, s, ms) AS tc,
+         CAST(h * 3600000 + m * 60000 + s * 1000 + ms AS BIGINT) AS ms_total
+  FROM c
+)
+SELECT event_id, tc, ms_total,
+       CAST(floor(ms_total * 25 / 1000.0) AS BIGINT) AS frame25,
+       tc AS tc_roundtrip
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2351,6 +2402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_functional_refine": docs_functional_refine,
     "docs_clip_score_filter": docs_clip_score_filter,
     "events_clip_eval": events_clip_eval,
+    "events_timecodes": events_timecodes,
 }
 
 ORACLES: dict[str, str] = {
@@ -2409,6 +2461,7 @@ ORACLES: dict[str, str] = {
     "docs_functional_refine": DOCS_FUNCTIONAL_REFINE_SQL,
     "docs_clip_score_filter": DOCS_CLIP_SCORE_SQL,
     "events_clip_eval": EVENTS_CLIP_EVAL_SQL,
+    "events_timecodes": EVENTS_TIMECODES_SQL,
 }
 
 

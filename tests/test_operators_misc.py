@@ -760,3 +760,29 @@ def test_jdbc_real_roundtrip_derby(spark, tmp_path):
     )
     assert one.count() == 1
     assert _json.loads(one.first().data)["text"] == "text 7"
+
+
+def test_timecode_kernels(spark):
+    """§2.11 timecode trio: parse handles 1/2/3-part forms and malformed
+    parts (NULL, not ANSI error); format/frame go through integer ms so
+    boundary values are exact."""
+    from dataflow_mm_spark.functions import timeutil as TU
+
+    df = spark.createDataFrame(
+        [("01:02:03.250",), ("02:03",), ("45",), ("0:0:0.999",),
+         ("xx:10:00",), (None,)],
+        "tc string",
+    )
+    out = df.select(
+        "tc",
+        TU.timecode_to_seconds(F.col("tc")).alias("sec"),
+    ).withColumn("back", TU.seconds_to_timecode(F.col("sec"))) \
+     .withColumn("f25", TU.frame_index(F.col("sec"), fps=25)).collect()
+    got = {r.tc: (r.sec, r.back, r.f25) for r in out}
+    assert got["01:02:03.250"] == (3723.25, "01:02:03.250", 93081)
+    assert got["02:03"] == (123.0, "00:02:03.000", 3075)
+    assert got["45"] == (45.0, "00:00:45.000", 1125)
+    assert got["0:0:0.999"][1] == "00:00:00.999"
+    assert got["0:0:0.999"][2] == 24  # 999*25/1000 = 24.975 → frame 24
+    assert got["xx:10:00"][0] is None  # malformed hour part → NULL
+    assert got[None] == (None, None, None)
