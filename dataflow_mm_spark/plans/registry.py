@@ -2344,6 +2344,72 @@ FROM t
 """
 
 
+def docs_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 real header-dimension parsing under the gate
+    (video_info_filter.py:324-336 analogue): per doc a VALID minimal binary
+    header is synthesized (format cycles PNG/GIF/BMP/JPEG by doc_id%4;
+    every 8th BMP is top-down, i.e. stores a NEGATIVE int32 height) and the
+    REAL production parser (`with_asset_meta`: pure-Catalyst fixed-offset
+    byte arithmetic for PNG/GIF/BMP, bounded Arrow SOF walk for JPEG)
+    extracts mime/width/height. The oracle emits the closed-form dims the
+    headers were built from — any parser defect (endianness, offset, sign
+    extension, marker walk) hash-mismatches. MP4 tkhd stays pytest-only
+    (building a moov tree in portable SQL adds nothing)."""
+    from dataflow_mm_spark.operators.multimodal import with_asset_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 1000 + 16).cast("bigint")
+    h = (F.col("doc_id") % 777 + 16).cast("bigint")
+    topdown = F.col("doc_id") % 8 == 3  # BMP rows only: biHeight < 0
+    h_bmp = F.when(topdown, F.lit(2**32) - h).otherwise(h)
+
+    def be(v, nbytes):  # big-endian fixed-width hex
+        return F.lpad(F.hex(v), 2 * nbytes, "0")
+
+    def le(v, nbytes):  # little-endian fixed-width hex (byte-reversed)
+        return F.concat(
+            *[F.lpad(F.hex(F.floor(v / 256**i) % 256), 2, "0")
+              for i in range(nbytes)]
+        )
+
+    png = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        be(w, 4), be(h, 4), F.lit("0806000000"),
+    )
+    gif = F.concat(F.lit("474946383961"), le(w, 2), le(h, 2), F.lit("00" * 16))
+    bmp = F.concat(
+        F.lit("424D" + "00" * 12 + "28000000"), le(w, 4), le(h_bmp, 4),
+    )
+    jpg = F.concat(
+        F.lit("FFD8" + "FFC0" + "0011" + "08"), be(h, 2), be(w, 2),
+        F.lit("03" + "00" * 9 + "FFD9" + "000000"),
+    )
+    fmt = F.col("doc_id") % 4
+    payload = F.unhex(
+        F.when(fmt == 0, png).when(fmt == 1, gif).when(fmt == 2, bmp)
+        .otherwise(jpg)
+    )
+    src = docs.select("doc_id", payload.alias("payload"))
+    out = with_asset_meta(src, "payload")
+    return out.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+DOCS_IMAGE_DIMS_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INT)
+         WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+         WHEN 2 THEN 'image/bmp' ELSE 'image/jpeg' END AS mime,
+       CAST(doc_id % 1000 + 16 AS INT) AS width,
+       CAST(doc_id % 777 + 16 AS INT) AS height
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2403,6 +2469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_clip_score_filter": docs_clip_score_filter,
     "events_clip_eval": events_clip_eval,
     "events_timecodes": events_timecodes,
+    "docs_image_dims": docs_image_dims,
 }
 
 ORACLES: dict[str, str] = {
@@ -2462,6 +2529,7 @@ ORACLES: dict[str, str] = {
     "docs_clip_score_filter": DOCS_CLIP_SCORE_SQL,
     "events_clip_eval": EVENTS_CLIP_EVAL_SQL,
     "events_timecodes": EVENTS_TIMECODES_SQL,
+    "docs_image_dims": DOCS_IMAGE_DIMS_SQL,
 }
 
 
