@@ -2410,6 +2410,71 @@ FROM documents
 """
 
 
+def transcripts_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 streaming semantics under the DuckDB value-hash gate: the REAL
+    flagship ``turns_pipeline`` (readStream → watermark → stateful
+    exact-dedup shuffle → quality enrich → filter → exactly-once sink with
+    lineage/manifest commit) runs availableNow over the portable synthetic
+    turns, with byte-identical duplicate arrivals appended as a LATER file
+    (so dedup state spans micro-batches — maxFilesPerTrigger=2 forces
+    several); the sink's committed parquet is read back and hash-compared
+    to closed-form batch SQL. Duplicates being byte-identical means
+    keep-first arrival ambiguity cannot leak into the hash, while a dedup
+    failure (extra rows) or quality/extraction drift still does."""
+    import os
+    import shutil
+    import tempfile
+
+    from dataflow_mm_spark.plans.portable import phash, synthetic_turns
+    from dataflow_mm_spark.streaming.jobs import turns_pipeline
+
+    work = tempfile.mkdtemp(prefix="dfmm_gate_stream_")
+    try:
+        inp = os.path.join(work, "in")
+        out = os.path.join(work, "out")
+        ck = os.path.join(work, "ck")
+        t = synthetic_turns(spark, sf_dir).select(
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+            "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
+        )
+        t.repartition(4).write.parquet(inp)
+        dup_arrivals = t.filter(
+            phash("dupkey", F.col("conv_id"), F.col("turn_idx")) % 17 == 0
+        )
+        dup_arrivals.coalesce(1).write.mode("append").parquet(inp)
+        q, _sink = turns_pipeline(
+            spark, inp, out, ck, max_files_per_trigger=2
+        )
+        q.awaitTermination()
+        res = (
+            spark.read.parquet(out)
+            .select(
+                "conv_id",
+                "turn_idx",
+                "role",
+                F.col("answer").alias("answer"),
+                F.size("tool_calls").alias("n_tools"),
+            )
+            # pin rows before the temp sink dir is removed (the driver
+            # collects AFTER this function returns)
+            .localCheckpoint()
+        )
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TRANSCRIPTS_STREAM_SQL = f"""
+WITH synth AS ({SYNTH_TURNS_SQL}),
+kept AS ({_quality_sql('synth', 'conv_id, turn_idx')})
+SELECT s.conv_id, s.turn_idx, s.role,
+       trim(regexp_extract(s.text, '(?s)<answer>\\s*(.*?)\\s*</answer>', 1)) AS answer,
+       CAST(len(regexp_extract_all(s.text, '(?s)<tool_call>(.*?)</tool_call>', 1)) AS INT)
+         AS n_tools
+FROM synth s JOIN kept k USING (conv_id, turn_idx)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2470,6 +2535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_clip_eval": events_clip_eval,
     "events_timecodes": events_timecodes,
     "docs_image_dims": docs_image_dims,
+    "transcripts_stream_pipeline": transcripts_stream_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -2530,6 +2596,7 @@ ORACLES: dict[str, str] = {
     "events_clip_eval": EVENTS_CLIP_EVAL_SQL,
     "events_timecodes": EVENTS_TIMECODES_SQL,
     "docs_image_dims": DOCS_IMAGE_DIMS_SQL,
+    "transcripts_stream_pipeline": TRANSCRIPTS_STREAM_SQL,
 }
 
 
