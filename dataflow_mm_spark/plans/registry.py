@@ -2475,6 +2475,66 @@ FROM synth s JOIN kept k USING (conv_id, turn_idx)
 """
 
 
+def transcripts_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 watermarked tumbling-window aggregation under the value-hash
+    gate: the REAL ``windowed_pipeline`` (readStream → watermark → quality
+    filter pre-shuffle → 5-minute window agg, append mode) drains
+    availableNow over the portable synthetic turns plus one far-future
+    sentinel row (advances the final watermark past every real window so
+    append mode finalizes them all — same device as
+    test_windowed_stream_matches_batch); committed output hash-compares to
+    the closed-form batch SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from dataflow_mm_spark.plans.portable import synthetic_turns
+    from dataflow_mm_spark.streaming.jobs import windowed_pipeline
+
+    work = tempfile.mkdtemp(prefix="dfmm_gate_swin_")
+    try:
+        inp = os.path.join(work, "in")
+        out = os.path.join(work, "out")
+        ck = os.path.join(work, "ck")
+        t = synthetic_turns(spark, sf_dir).select(
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+            "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
+        )
+        max_ts = t.agg(F.max("ts")).first()[0]
+        # the sentinel text must PASS the quality rules: Catalyst pushes the
+        # ts-free quality predicate BELOW the EventTimeWatermark node, so
+        # only passing rows drive the watermark (verified: an 'x' sentinel
+        # left the final window unfinalized)
+        from dataflow_mm_spark.datagen import TEMPLATES
+
+        sentinel = spark.createDataFrame(
+            [("conv-sentinel", 0, "user", TEMPLATES[0], None, max_ts)],
+            t.schema,
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+        t.unionAll(sentinel).repartition(4).write.parquet(inp)
+        q, _sink = windowed_pipeline(spark, inp, out, ck)
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out)
+            .filter(F.col("conv_id") != "conv-sentinel")
+            .select("conv_id", "win_start", "win_end", "n_turns", "n_assistant")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TRANSCRIPTS_STREAM_WIN_SQL = f"""
+WITH kept AS ({_quality_sql(f'({SYNTH_TURNS_SQL})', 'conv_id, ts, role')})
+SELECT conv_id,
+       make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT)) * 300 * 1000000) AS win_start,
+       make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT) + 1) * 300 * 1000000) AS win_end,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant
+FROM kept GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2536,6 +2596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_timecodes": events_timecodes,
     "docs_image_dims": docs_image_dims,
     "transcripts_stream_pipeline": transcripts_stream_pipeline,
+    "transcripts_stream_windows": transcripts_stream_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -2597,6 +2658,7 @@ ORACLES: dict[str, str] = {
     "events_timecodes": EVENTS_TIMECODES_SQL,
     "docs_image_dims": DOCS_IMAGE_DIMS_SQL,
     "transcripts_stream_pipeline": TRANSCRIPTS_STREAM_SQL,
+    "transcripts_stream_windows": TRANSCRIPTS_STREAM_WIN_SQL,
 }
 
 
