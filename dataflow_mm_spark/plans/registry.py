@@ -2535,6 +2535,136 @@ FROM kept GROUP BY 1, 2, 3
 """
 
 
+def transcripts_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 stateful CEP under the value-hash gate: the REAL bucketed CEP
+    FSM (`cep_stream_bucketed` — applyInPandasWithState over hash buckets,
+    segment-encoded state, event-time close) drains availableNow over the
+    portable synthetic turns; a far-future sentinel closes every
+    conversation so trailing unpaired tool calls emit. The committed
+    role-violation and tool-pairing events hash-compare to the closed-form
+    SQL that already oracles the batch CEP operators (the stream==batch
+    parity suite links the two FSM forms); conv_summary rows are excluded —
+    their per-epoch grouping is a streaming-only notion with no closed
+    form."""
+    import os
+    import shutil
+    import tempfile
+
+    from dataflow_mm_spark.plans.portable import synthetic_turns
+    from dataflow_mm_spark.streaming.jobs import cep_pipeline
+
+    work = tempfile.mkdtemp(prefix="dfmm_gate_scep_")
+    try:
+        inp = os.path.join(work, "in")
+        out = os.path.join(work, "out")
+        ck = os.path.join(work, "ck")
+        t = synthetic_turns(spark, sf_dir).select(
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+            "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
+        )
+        max_ts = t.agg(F.max("ts")).first()[0]
+        sentinel = spark.createDataFrame(
+            [("conv-sentinel", 0, "user", "sentinel push watermark", None, max_ts)],
+            t.schema,
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+        t.unionAll(sentinel).repartition(4).write.parquet(inp)
+        q, _sink = cep_pipeline(spark, inp, out, ck, buckets=32)
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out)
+            .filter(
+                (F.col("conv_id") != "conv-sentinel")
+                & F.col("kind").isin(
+                    "role_violation", "tool_paired", "tool_unpaired"
+                )
+            )
+            .select(
+                "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+                "kind",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TRANSCRIPTS_STREAM_CEP_SQL = f"""
+WITH synth AS ({SYNTH_TURNS_SQL}),
+ua AS (SELECT * FROM synth WHERE role IN ('user', 'assistant')),
+v AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM ua
+),
+x AS (
+  SELECT conv_id, turn_idx, role, text, tool,
+         lead(role) OVER w AS next_role,
+         lead(tool) OVER w AS next_tool
+  FROM synth WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+calls AS (
+  SELECT * FROM x
+  WHERE role = 'assistant' AND tool IS NOT NULL
+    AND len(regexp_extract_all(text, '(?s)<tool_call>(.*?)</tool_call>', 1)) > 0
+)
+SELECT conv_id, turn_idx, 'role_violation' AS kind
+FROM v WHERE prev_role = role
+UNION ALL
+SELECT conv_id, turn_idx,
+       CASE WHEN coalesce(next_role = 'tool' AND next_tool = tool, FALSE)
+            THEN 'tool_paired' ELSE 'tool_unpaired' END AS kind
+FROM calls
+"""
+
+
+def transcripts_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 native session_window aggregation under the value-hash gate:
+    `sessionized_pipeline` (readStream → watermark → session_window(gap
+    30min) agg, append mode) drains availableNow over the portable
+    synthetic turns + far-future sentinel (finalizes every real session);
+    committed output hash-compares to the batch sessionization SQL already
+    oracling `session_agg_batch` (gap-walk replay, fractional-epoch
+    gaps)."""
+    import os
+    import shutil
+    import tempfile
+
+    from dataflow_mm_spark.plans.portable import synthetic_turns
+    from dataflow_mm_spark.streaming.jobs import sessionized_pipeline
+
+    work = tempfile.mkdtemp(prefix="dfmm_gate_ssess_")
+    try:
+        inp = os.path.join(work, "in")
+        out = os.path.join(work, "out")
+        ck = os.path.join(work, "ck")
+        t = synthetic_turns(spark, sf_dir).select(
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+            "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
+        )
+        max_ts = t.agg(F.max("ts")).first()[0]
+        sentinel = spark.createDataFrame(
+            [("conv-sentinel", 0, "user", "sentinel push watermark", None, max_ts)],
+            t.schema,
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+        t.unionAll(sentinel).repartition(4).write.parquet(inp)
+        q, _sink = sessionized_pipeline(spark, inp, out, ck)
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out)
+            .filter(F.col("conv_id") != "conv-sentinel")
+            .select("conv_id", "sess_start", "sess_end", "n_turns")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TRANSCRIPTS_STREAM_SESS_SQL = f"""
+SELECT conv_id, sess_start, sess_end, n_turns
+FROM ({TRANSCRIPTS_SESSION_SQL})
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2597,6 +2727,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_image_dims": docs_image_dims,
     "transcripts_stream_pipeline": transcripts_stream_pipeline,
     "transcripts_stream_windows": transcripts_stream_windows,
+    "transcripts_stream_cep": transcripts_stream_cep,
+    "transcripts_stream_sessions": transcripts_stream_sessions,
 }
 
 ORACLES: dict[str, str] = {
@@ -2659,6 +2791,8 @@ ORACLES: dict[str, str] = {
     "docs_image_dims": DOCS_IMAGE_DIMS_SQL,
     "transcripts_stream_pipeline": TRANSCRIPTS_STREAM_SQL,
     "transcripts_stream_windows": TRANSCRIPTS_STREAM_WIN_SQL,
+    "transcripts_stream_cep": TRANSCRIPTS_STREAM_CEP_SQL,
+    "transcripts_stream_sessions": TRANSCRIPTS_STREAM_SESS_SQL,
 }
 
 
