@@ -158,10 +158,16 @@ def main() -> None:
         "win_tps": stream["window_turns_per_sec"],
     }
     if scaling:
-        result["scaling"] = scaling["executor_model_efficiency"]
+        # canonical three cells only (superseded r3 entries stay in the file)
+        result["scaling"] = {
+            k: v
+            for k, v in scaling["executor_model_efficiency"].items()
+            if k in ("enrich_dedup", "window", "cep_bucketed")
+        }
     result["detail"] = "bench_full.json"
     line = json.dumps(result, separators=(",", ":"))
-    for shed in ("gc", "scaling", "stream", "total_query_sec"):
+    # scaling sheds LAST — it is the north-rule evidence pointer
+    for shed in ("gc", "stream", "total_query_sec", "scaling"):
         if len(line) <= 1900:
             break
         result.pop(shed, None)
