@@ -2389,7 +2389,10 @@ def docs_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fmt == 0, png).when(fmt == 1, gif).when(fmt == 2, bmp)
         .otherwise(jpg)
     )
-    src = docs.select("doc_id", payload.alias("payload"))
+    # cache = projection barrier: the synthesized-payload expression would
+    # otherwise re-inline into every mime/width/height reference and blow
+    # janino's generated-method limit (codegen falls back to interpreted)
+    src = docs.select("doc_id", payload.alias("payload")).cache()
     out = with_asset_meta(src, "payload")
     return out.select(
         "doc_id",
