@@ -198,6 +198,29 @@ def jdbc_write(
     w.save()
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "conv_id",
+    buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Write-time bucketing — the co-located-join layout for repeated joins
+    and aggregations on a hot key. Two tables bucketed identically on the
+    join key join WITHOUT a shuffle (Spark reads the bucket layout from the
+    catalog and plants no Exchange; asserted in
+    test_bucketed_join_is_shuffle_free). At warehouse scale this is the
+    difference between re-shuffling 100TB per join and never shuffling it
+    again after ingest; ``buckets`` should match the downstream
+    shuffle-partition layout (see BENCH.md state-partition pinning)."""
+    w = df.write.format(fmt).mode(mode).bucketBy(buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 class StepStorage:
     """FileStorage-compatible step rhythm for migrating pipelines:
     ``read() → transform → write(df)`` with a step counter; every step is a

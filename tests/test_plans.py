@@ -43,3 +43,36 @@ def test_events_window_partial_agg(spark):
 def test_minhash_signatures_no_python(spark):
     plan = _plan(R.docs_minhash_signatures(spark, SF))
     assert "EvalPython" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Write-time bucketing (sources/io.write_bucketed): two tables bucketed
+    identically on the join key must sort-merge-join with ZERO Exchange
+    operators — the co-located layout a 100TB deployment relies on so the
+    big fact table is shuffled once at ingest, never per query."""
+    import pyspark.sql.functions as F
+
+    from dataflow_mm_spark.sources.io import write_bucketed
+
+    a = spark.range(0, 10_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 997)).alias("conv_id"),
+        F.col("id").alias("turn_idx"),
+    )
+    b = spark.range(0, 2_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 997)).alias("conv_id"),
+        (F.col("id") * 2).alias("score"),
+    )
+    write_bucketed(a, "bk_turns", "conv_id", buckets=8)
+    write_bucketed(b, "bk_scores", "conv_id", buckets=8)
+    try:
+        ta = spark.table("bk_turns")
+        tb = spark.table("bk_scores")
+        joined = ta.hint("merge").join(tb, "conv_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        # and it is not just a plan artifact — the join actually evaluates
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_turns")
+        spark.sql("DROP TABLE IF EXISTS bk_scores")
