@@ -2668,6 +2668,99 @@ FROM ({TRANSCRIPTS_SESSION_SQL})
 """
 
 
+def transcripts_stream_cep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CEP FSM's close-time ``conv_summary`` counters under the gate:
+    with a single availableNow data batch the watermark only advances after
+    it, so every conversation closes exactly once (sentinel-driven) and its
+    summary carries whole-conversation totals — n_turns (all consumed
+    turns), n_violations, n_paired, n_unpaired (close resolves a trailing
+    open call, matching batch lead()-NULL semantics). Each counter is
+    closed-form per conv_id, so the last streaming-only output kind is now
+    value-hash-checked too."""
+    import os
+    import shutil
+    import tempfile
+
+    from dataflow_mm_spark.plans.portable import synthetic_turns
+    from dataflow_mm_spark.streaming.jobs import cep_pipeline
+
+    work = tempfile.mkdtemp(prefix="dfmm_gate_scepsum_")
+    try:
+        inp = os.path.join(work, "in")
+        out = os.path.join(work, "out")
+        ck = os.path.join(work, "ck")
+        t = synthetic_turns(spark, sf_dir).select(
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+            "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
+        )
+        max_ts = t.agg(F.max("ts")).first()[0]
+        sentinel = spark.createDataFrame(
+            [("conv-sentinel", 0, "user", "sentinel push watermark", None, max_ts)],
+            t.schema,
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+        t.unionAll(sentinel).repartition(4).write.parquet(inp)
+        q, _sink = cep_pipeline(spark, inp, out, ck, buckets=32)
+        q.awaitTermination()
+        d = F.col("detail")
+        return (
+            spark.read.parquet(out)
+            .filter(
+                (F.col("kind") == "conv_summary")
+                & (F.col("conv_id") != "conv-sentinel")
+            )
+            .select(
+                "conv_id",
+                F.get_json_object(d, "$.n_turns").cast("int").alias("n_turns"),
+                F.get_json_object(d, "$.n_violations").cast("int").alias("n_violations"),
+                F.get_json_object(d, "$.n_paired").cast("int").alias("n_paired"),
+                F.get_json_object(d, "$.n_unpaired").cast("int").alias("n_unpaired"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TRANSCRIPTS_STREAM_CEP_SUM_SQL = f"""
+WITH synth AS ({SYNTH_TURNS_SQL}),
+ua AS (SELECT * FROM synth WHERE role IN ('user', 'assistant')),
+v AS (
+  SELECT conv_id, count(*) AS n_viol FROM (
+    SELECT conv_id,
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+           role
+    FROM ua
+  ) WHERE prev_role = role GROUP BY conv_id
+),
+x AS (
+  SELECT conv_id, role, text, tool,
+         lead(role) OVER w AS next_role,
+         lead(tool) OVER w AS next_tool
+  FROM synth WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+p AS (
+  SELECT conv_id,
+         count(*) FILTER (WHERE coalesce(next_role = 'tool' AND next_tool = tool,
+                                         FALSE)) AS n_paired,
+         count(*) FILTER (WHERE NOT coalesce(next_role = 'tool' AND next_tool = tool,
+                                             FALSE)) AS n_unpaired
+  FROM x
+  WHERE role = 'assistant' AND tool IS NOT NULL
+    AND len(regexp_extract_all(text, '(?s)<tool_call>(.*?)</tool_call>', 1)) > 0
+  GROUP BY conv_id
+)
+SELECT s.conv_id,
+       CAST(count(*) AS INT) AS n_turns,
+       CAST(coalesce(any_value(v.n_viol), 0) AS INT) AS n_violations,
+       CAST(coalesce(any_value(p.n_paired), 0) AS INT) AS n_paired,
+       CAST(coalesce(any_value(p.n_unpaired), 0) AS INT) AS n_unpaired
+FROM synth s
+LEFT JOIN v ON s.conv_id = v.conv_id
+LEFT JOIN p ON s.conv_id = p.conv_id
+GROUP BY s.conv_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2732,6 +2825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts_stream_windows": transcripts_stream_windows,
     "transcripts_stream_cep": transcripts_stream_cep,
     "transcripts_stream_sessions": transcripts_stream_sessions,
+    "transcripts_stream_cep_summary": transcripts_stream_cep_summary,
 }
 
 ORACLES: dict[str, str] = {
@@ -2796,6 +2890,7 @@ ORACLES: dict[str, str] = {
     "transcripts_stream_windows": TRANSCRIPTS_STREAM_WIN_SQL,
     "transcripts_stream_cep": TRANSCRIPTS_STREAM_CEP_SQL,
     "transcripts_stream_sessions": TRANSCRIPTS_STREAM_SESS_SQL,
+    "transcripts_stream_cep_summary": TRANSCRIPTS_STREAM_CEP_SUM_SQL,
 }
 
 
