@@ -41,6 +41,78 @@ def _start(stream_df: DataFrame, sink: ExactlyOnceParquetSink, checkpoint: str,
     return w.start()
 
 
+def _start_native(stream_df: DataFrame, out_dir: str, checkpoint: str,
+                  available_now: bool):
+    """Native parquet streaming sink — the commit protocol is JVM-side
+    (``_spark_metadata`` log), with NO Python callback on the data path.
+
+    Why it exists: py4j's callback channel (the transport behind
+    ``foreachBatch``) degrades in long-lived driver sessions that start many
+    streaming queries — observed at the 7th foreachBatch query of one
+    session, the JVM's batch-0 callback blocks forever on a corrupted
+    pinned connection (stream thread in a plain-socket read that ignores
+    interrupts, so even ``stop()`` wedges). Production deployments run one
+    query per JVM (cli.py) and never see this; the correctness gate runs
+    8 streaming queries in one session, so gate queries that don't
+    specifically verify the foreachBatch exactly-once sink use this sink
+    instead (``sink_mode="native"``), capping callback-channel usage per
+    session. The foreachBatch sink itself stays gated by
+    transcripts_stream_pipeline / transcripts_stream_neardup, ordered first
+    among the gate's stream queries."""
+    w = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def _finish(stream_df: DataFrame, out_dir: str, checkpoint: str,
+            available_now: bool, sink_mode: str):
+    """(query, sink) for the requested sink mode: "exactly_once" =
+    foreachBatch ExactlyOnceParquetSink (production default, lineage
+    columns + manifest commit); "native" = JVM-only parquet sink
+    (sink=None — read the output dir directly)."""
+    if sink_mode == "native":
+        return _start_native(stream_df, out_dir, checkpoint, available_now), None
+    sink = ExactlyOnceParquetSink(out_dir)
+    return _start(stream_df, sink, checkpoint, available_now), sink
+
+
+def drain_resumable(start, attempts: int = 2, timeout_s: float = 900.0):
+    """Drain an availableNow pipeline with restart-from-checkpoint on
+    transient failure: ``start()`` builds (query, sink) against a FIXED
+    checkpoint dir; if ``awaitTermination`` raises (py4j callback-channel
+    flakes under long sessions, executor loss on a real cluster) OR the
+    drain exceeds ``timeout_s`` (a wedged foreachBatch callback — the py4j
+    callback-channel degradation _start_native documents: the JVM blocks
+    forever reading a response that never comes), the
+    query is stopped and rebuilt on the same checkpoint — the exactly-once
+    sink makes the retry idempotent (a replayed batch clobbers its own
+    directory before the manifest commit), so this is precisely the
+    production restart-from-checkpoint path. Returns the sink."""
+    last: Exception | None = None
+    for _ in range(attempts):
+        q, sink = start()
+        try:
+            if q.awaitTermination(timeout_s):
+                return sink
+            last = TimeoutError(
+                f"availableNow drain exceeded {timeout_s}s; stopping for "
+                "checkpoint-resume retry"
+            )
+        except Exception as ex:  # noqa: BLE001 — retry any stream failure
+            last = ex
+        try:
+            q.stop()
+        except Exception:  # noqa: BLE001
+            pass
+    raise last
+
+
 def enrich_turns(turns: DataFrame) -> DataFrame:
     """Stateless per-turn enrichment: quality struct, answer span, tool-call
     names — all JVM-side expressions (no shuffle, no Python)."""
@@ -94,6 +166,7 @@ def windowed_pipeline(
     window_size: str = "5 minutes",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    sink_mode: str = "exactly_once",
 ):
     """Flagship SURVEY.md §7.2 slice: quality-filtered turn counts per
     conversation per tumbling window, append mode (windows finalize as the
@@ -118,9 +191,7 @@ def windowed_pipeline(
             "n_assistant",
         )
     )
-    sink = ExactlyOnceParquetSink(out_dir)
-    q = _start(agg, sink, checkpoint, available_now)
-    return q, sink
+    return _finish(agg, out_dir, checkpoint, available_now, sink_mode)
 
 
 def cep_pipeline(
@@ -134,6 +205,7 @@ def cep_pipeline(
     available_now: bool = True,
     bucketed: bool = True,
     buckets: int = 1024,
+    sink_mode: str = "exactly_once",
 ):
     """Role-alternation + tool-pairing CEP event stream → sink. Default uses
     the bucketed state layout (per-group constant amortized over ~buckets
@@ -153,9 +225,7 @@ def cep_pipeline(
         events = cep_stream_bucketed(turns, close_gap, buckets)
     else:
         events = cep_stream(turns, close_gap)
-    sink = ExactlyOnceParquetSink(out_dir)
-    q = _start(events, sink, checkpoint, available_now)
-    return q, sink
+    return _finish(events, out_dir, checkpoint, available_now, sink_mode)
 
 
 def context_pipeline(
@@ -166,6 +236,7 @@ def context_pipeline(
     watermark: str = "10 minutes",
     max_gap: str = "1 hour",
     available_now: bool = True,
+    sink_mode: str = "exactly_once",
 ):
     """Stream-stream prev-turn join → stateless consistency features →
     exactly-once sink. Stateless work after a stream-stream join is legal in
@@ -183,9 +254,7 @@ def context_pipeline(
         (F.col("role") == F.col("prev_role")).alias("role_repeat"),
         quality_struct(F.col("text"))["pass"].alias("quality_pass"),
     )
-    sink = ExactlyOnceParquetSink(out_dir)
-    q = _start(out, sink, checkpoint, available_now)
-    return q, sink
+    return _finish(out, out_dir, checkpoint, available_now, sink_mode)
 
 
 def neardup_pipeline(
@@ -240,6 +309,7 @@ def merge_spans_pipeline(
     close_gap: str = "30 minutes",
     max_duration: float = 30.0,
     available_now: bool = True,
+    sink_mode: str = "exactly_once",
 ):
     """W6 merge mode, streaming form: size-capped span merge per conversation
     (streaming/merge.py), parity-tested against the batch
@@ -254,9 +324,7 @@ def merge_spans_pipeline(
         .withWatermark("ts", watermark)
     )
     merged = merge_spans_stream(raw, close_gap=close_gap, max_duration=max_duration)
-    sink = ExactlyOnceParquetSink(out_dir)
-    q = _start(merged, sink, checkpoint, available_now)
-    return q, sink
+    return _finish(merged, out_dir, checkpoint, available_now, sink_mode)
 
 
 def sessionized_pipeline(
@@ -267,6 +335,7 @@ def sessionized_pipeline(
     watermark: str = "10 minutes",
     gap: str = "30 minutes",
     available_now: bool = True,
+    sink_mode: str = "exactly_once",
 ):
     """Native session_window aggregation per conversation."""
     turns = read_transcript_stream(spark, input_path, None, watermark)
@@ -280,6 +349,4 @@ def sessionized_pipeline(
             "n_turns",
         )
     )
-    sink = ExactlyOnceParquetSink(out_dir)
-    q = _start(agg, sink, checkpoint, available_now)
-    return q, sink
+    return _finish(agg, out_dir, checkpoint, available_now, sink_mode)

@@ -452,3 +452,56 @@ def test_cep_close_then_resume_continues_fsm(spark, tmp_path, bucketed):
                  for r in got.filter(F.col("kind") == "conv_summary").collect()]
     assert len(summaries) == 2  # one per activity epoch
     assert sorted(s["n_turns"] for s in summaries) == [4, 4]
+
+
+def test_drain_resumable_restarts_from_checkpoint_once():
+    """drain_resumable: a transient awaitTermination failure (py4j callback
+    flake, executor loss) triggers exactly one rebuild against the same
+    checkpoint; a persistent failure propagates after the retry budget."""
+    calls = {"n": 0}
+
+    class _Q:
+        def __init__(self, fail=False, hang=False):
+            self.fail = fail
+            self.hang = hang
+            self.stopped = False
+
+        def awaitTermination(self, timeout=None):
+            if self.fail:
+                raise RuntimeError("transient callback failure")
+            return not self.hang  # False = still running at timeout
+
+        def stop(self):
+            self.stopped = True
+
+    def start_flaky():
+        calls["n"] += 1
+        return _Q(fail=calls["n"] == 1), f"sink-{calls['n']}"
+
+    assert jobs.drain_resumable(start_flaky) == "sink-2"
+    assert calls["n"] == 2
+
+    calls["n"] = 0
+
+    def start_broken():
+        calls["n"] += 1
+        return _Q(fail=True), "sink"
+
+    with pytest.raises(RuntimeError, match="transient"):
+        jobs.drain_resumable(start_broken)
+    assert calls["n"] == 2
+
+    # a wedged drain (awaitTermination timeout) is stopped and retried;
+    # persistent wedge surfaces as TimeoutError after the retry budget
+    calls["n"] = 0
+    hung = []
+
+    def start_hung():
+        calls["n"] += 1
+        q = _Q(hang=True)
+        hung.append(q)
+        return q, "sink"
+
+    with pytest.raises(TimeoutError, match="drain exceeded"):
+        jobs.drain_resumable(start_hung, timeout_s=0.01)
+    assert calls["n"] == 2 and all(q.stopped for q in hung)
