@@ -2846,12 +2846,19 @@ def events_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     string conv_id the streaming job shuffles on. Gate sink_mode="native"
     (JVM-only parquet sink — see streaming/jobs._start_native for the py4j
     callback-channel session cap; the foreachBatch exactly-once sink is
-    gated by transcripts_stream_pipeline/_neardup)."""
+    gated by transcripts_stream_pipeline/_neardup). Input is a portable
+    1-in-4 conversation sample (mirrored in the SQL): the per-key ordered
+    state walk is inherently sequential per conversation, so the unsampled
+    gate run costs ~56s at sf0.1 in bench.py for no extra semantic
+    coverage — the batch `events_merge_spans` oracle stays unsampled, and
+    streaming THROUGHPUT is measured by run_streaming_bench, not the
+    gate."""
     import os
     import shutil
     import tempfile
 
     from dataflow_mm_spark.functions.timeutil import epoch_seconds
+    from dataflow_mm_spark.plans.portable import phash
     from dataflow_mm_spark.streaming.jobs import drain_resumable, merge_spans_pipeline
 
     work = tempfile.mkdtemp(prefix="dfmm_gate_smerge_")
@@ -2859,7 +2866,9 @@ def events_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         inp = os.path.join(work, "in")
         out = os.path.join(work, "out")
         ck = os.path.join(work, "ck")
-        ev = _t(spark, sf_dir, "events")
+        ev = _t(spark, sf_dir, "events").filter(
+            phash("smerge", F.col("user_id").cast("string")) % 4 == 0
+        )
         sec = F.floor(epoch_seconds(F.col("ts")))
         spans = ev.select(
             F.col("user_id").cast("string").alias("conv_id"),
@@ -2892,12 +2901,13 @@ def events_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-EVENTS_STREAM_MERGE_SQL = """
+EVENTS_STREAM_MERGE_SQL = f"""
 WITH RECURSIVE spans AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,
          CAST(floor(epoch(ts)) AS DOUBLE) AS s,
          CAST(floor(epoch(ts)) + (event_id % 7 + 1) AS DOUBLE) AS e
   FROM events
+  WHERE {_phash_sql('smerge', 'CAST(user_id AS VARCHAR)')} % 4 = 0
 ), ordered AS (
   SELECT conv_id, s, e,
          row_number() OVER (PARTITION BY conv_id ORDER BY s, e) AS rn
