@@ -86,11 +86,14 @@ def whisper_en_normalize(text: Column) -> Column:
 # Independent implementation of the public word→digit semantics, covering the
 # deterministic core: cardinals ("five hundred twenty three" → 523) with
 # hundred/thousand/million/billion/trillion groups and "and"-linking,
-# ordinals ("twenty first" → 21st), and decimal "point" digit runs
-# ("three point one four" → 3.14). Documented out of scope (rare in
-# transcripts, ambiguous without context): year pairing ("nineteen eighty
-# four" stays "19 84"), "a hundred", "double/triple oh", fractions and
-# currency folding. Input is expected post-whisper_en_normalize (lowercase,
+# ordinals ("twenty first" → 21st), decimal "point" digit runs
+# ("three point one four" → 3.14), year pairing ("nineteen eighty four" →
+# 1984, "nineteen oh five" → 1905, "nineteen hundred and five" → 1905; r4),
+# article-as-one ("a hundred and five" → 105, opening position only; r4),
+# and the currency/half post-passes below. Documented out of scope (rare in
+# transcripts, ambiguous without context): "double/triple oh" digit runs and
+# sub-dollar "$0.xx" extraction. Input is expected post-whisper_en_normalize
+# (lowercase,
 # punctuation stripped); a maximal run of number words converts per run.
 # ---------------------------------------------------------------------------
 
@@ -140,6 +143,43 @@ def _ordinal_suffix(n: int) -> str:
     if n % 100 in (11, 12, 13):
         return "th"
     return {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
+
+
+def _year_second(toks: list[str], j: int):
+    """Year-pairing second half at toks[j] → (value, next) | None.
+    tens[+unit] | teen/ten | 'oh'+unit(1-9). Kernel twin of the grammar
+    oracle's _year_half — independent code, same public semantics (r4)."""
+    if j >= len(toks):
+        return None
+    t = toks[j]
+    if t in _NUM_TENS:
+        v = _NUM_TENS[t]
+        k = j + 1
+        if k < len(toks) and 1 <= _NUM_UNITS.get(toks[k], 0) <= 9:
+            return v + _NUM_UNITS[toks[k]], k + 1
+        return v, k
+    if _NUM_UNITS.get(t, 0) >= 10:
+        return _NUM_UNITS[t], j + 1
+    if t == "oh" and j + 1 < len(toks) and 1 <= _NUM_UNITS.get(toks[j + 1], 0) <= 9:
+        return _NUM_UNITS[toks[j + 1]], j + 2
+    return None
+
+
+def _sub_hundred(toks: list[str], j: int):
+    """1-99 cardinal at toks[j] → (value, next) | None (year 'hundred'
+    continuation — "nineteen hundred and five")."""
+    if j >= len(toks):
+        return None
+    t = toks[j]
+    if t in _NUM_TENS:
+        v = _NUM_TENS[t]
+        k = j + 1
+        if k < len(toks) and 1 <= _NUM_UNITS.get(toks[k], 0) <= 9:
+            return v + _NUM_UNITS[toks[k]], k + 1
+        return v, k
+    if _NUM_UNITS.get(t, 0) >= 1:
+        return _NUM_UNITS[t], j + 1
+    return None
 
 
 def _unit_fits(group: int, v: int) -> bool:
@@ -213,6 +253,16 @@ def _try_number(toks: list[str], i: int):
                 else:
                     total += (group or 1) * s
                     group, started, ordinal, consumed = 0, True, True, True
+        elif w == "a":
+            # article-as-one: only directly before 'hundred' or a scale
+            # ("a hundred and five" → 105, "a thousand" → 1000); any other
+            # 'a' stays an article (r4)
+            if (
+                not started
+                and j + 1 < len(toks)
+                and (toks[j + 1] == "hundred" or toks[j + 1] in _NUM_SCALES)
+            ):
+                group, started, consumed = 1, True, True
         elif w == "point" and started and frac is None:
             if (
                 j + 1 < len(toks)
@@ -239,6 +289,33 @@ def _try_number(toks: list[str], i: int):
             break  # ordinals terminate the run ("twenty first century")
     if not started:
         return None, i
+    # year pairing (r4): a pure sub-hundred 10-99 run (no scale/hundred/
+    # ordinal/decimal consumed) pairs with a following tens/teen run,
+    # 'oh'+digit, or 'hundred' [['and'] sub100] — "nineteen eighty four" →
+    # 1984, "nineteen oh five" → 1905, "twenty twenty one" → 2021,
+    # "nineteen hundred and five" → 1905. Terminal render.
+    if (
+        not ordinal
+        and frac is None
+        and not zero_only
+        and min_scale_used is None
+        and total == 0
+        and 10 <= group <= 99
+        and j < len(toks)
+    ):
+        ys = _year_second(toks, j)
+        if ys is not None:
+            return str(group * 100 + ys[0]), ys[1]
+        if toks[j] == "hundred":
+            v2, k = group * 100, j + 1
+            if k < len(toks) and toks[k] == "and":
+                rest = _sub_hundred(toks, k + 1)
+                if rest is not None:
+                    return str(v2 + rest[0]), rest[1]
+            rest = _sub_hundred(toks, k)
+            if rest is not None:
+                return str(v2 + rest[0]), rest[1]
+            return str(v2), k
     n = total + group
     if ordinal:
         return f"{n}{_ordinal_suffix(n)}", j
@@ -283,7 +360,11 @@ def number_words_to_digits_py(s: str | None) -> str | None:
     out: list[str] = []
     i = 0
     while i < len(toks):
-        if toks[i] in _NUMBER_WORDS:
+        if toks[i] in _NUMBER_WORDS or (
+            toks[i] == "a"
+            and i + 1 < len(toks)
+            and (toks[i + 1] == "hundred" or toks[i + 1] in _NUM_SCALES)
+        ):
             rendered, j = _try_number(toks, i)
             if rendered is not None:
                 out.append(rendered)

@@ -76,11 +76,18 @@ def _sub100(w: list[str], i: int):
     return None
 
 
-def _group(w: list[str], i: int):
-    """1-999 group: [1-9 'hundred' ['and'] [sub100]] | sub100."""
+def _group(w: list[str], i: int, allow_a: bool = False):
+    """1-999 group: [1-9 'hundred' ['and'] [sub100]] | sub100.
+    The article 'a' reads as 1 directly before 'hundred' ("a hundred and
+    five" → 105) but ONLY as the opening group of a number (allow_a — the
+    kernel twin likewise only accepts 'a' at run start); as a continuation
+    ("ninety trillion a hundred") it stays an article (r4)."""
     sub = _sub100(w, i)
     if sub is None:
-        return None
+        if allow_a and i + 1 < len(w) and w[i] == "a" and w[i + 1] == "hundred":
+            sub = (1, i + 1)
+        else:
+            return None
     v, j = sub
     if 1 <= v <= 9 and j < len(w) and w[j] == "hundred":
         v, j = v * 100, j + 1
@@ -98,10 +105,15 @@ def _group(w: list[str], i: int):
 
 def _cardinal(w: list[str], i: int):
     """Positive cardinal: group (scale ['and'] group?)* with strictly
-    decreasing scales → (value, next, used_scale) | None."""
-    g = _group(w, i)
+    decreasing scales → (value, next, used_scale) | None.
+    'a' reads as 1 directly before a scale word ("a thousand and one" →
+    1001), opening position only (r4)."""
+    g = _group(w, i, allow_a=True)
     if g is None:
-        return None
+        if i + 1 < len(w) and w[i] == "a" and w[i + 1] in _SCALE_VAL:
+            g = (1, i + 1)
+        else:
+            return None
     val, j = g
     total, last_scale = 0, None
     while j < len(w) and w[j] in _SCALE_VAL and val > 0:
@@ -122,6 +134,31 @@ def _cardinal(w: list[str], i: int):
             continue
         break
     return total + val, j, last_scale is not None
+
+
+def _year_half(w: list[str], i: int):
+    """Second half of a year-style pairing at w[i] → (value, next) | None:
+    tens[+unit] ("eighty four"), a teen/ten ("nineteen", for "twenty
+    nineteen"), or 'oh'+unit ("oh five"). Bare 'o' is deliberately NOT
+    accepted (too common as a stray letter post-normalization)."""
+    if i >= len(w):
+        return None
+    t = w[i]
+    if t in _TENS:
+        v = _TENS[t]
+        if i + 1 < len(w) and w[i + 1] in _SMALL and 1 <= _SMALL[w[i + 1]] <= 9:
+            return v + _SMALL[w[i + 1]], i + 2
+        return v, i + 1
+    if t in _SMALL and 10 <= _SMALL[t] <= 19:
+        return _SMALL[t], i + 1
+    if (
+        t == "oh"
+        and i + 1 < len(w)
+        and w[i + 1] in _SMALL
+        and 1 <= _SMALL[w[i + 1]] <= 9
+    ):
+        return _SMALL[w[i + 1]], i + 2
+    return None
 
 
 def _number(w: list[str], i: int):
@@ -148,6 +185,25 @@ def _number(w: list[str], i: int):
         return f"{val}.{frac}", j
     if val == 0:
         return "0", j
+    # year pairing (r4): a pure sub-hundred 10-99 pairs with a following
+    # tens/teen run, 'oh'+digit, or 'hundred' [['and'] sub100] into one
+    # 4-digit year-style number ("nineteen eighty four" → 1984,
+    # "nineteen oh five" → 1905, "nineteen hundred and five" → 1905,
+    # "twenty twenty one" → 2021). Terminal — no decimal/ordinal follows.
+    if not scaled and 10 <= val <= 99:
+        yh = _year_half(w, j)
+        if yh is not None:
+            return str(val * 100 + yh[0]), yh[1]
+        if j < len(w) and w[j] == "hundred":
+            v2, j2 = val * 100, j + 1
+            if j2 < len(w) and w[j2] == "and":
+                rest = _sub100(w, j2 + 1)
+                if rest is not None:
+                    return str(v2 + rest[0]), rest[1]
+            rest = _sub100(w, j2)
+            if rest is not None:
+                return str(v2 + rest[0]), rest[1]
+            return str(v2), j2
     # ordinal continuation ("twenty first", "one hundred and first")
     o = _ordinal_from(val, w, j, scaled)
     if o is not None:
@@ -260,7 +316,17 @@ def en_number_words(phrase: str) -> str:
     w = phrase.split()
     out, i = [], 0
     while i < len(w):
-        r = _number(w, i) if (w[i] in _SMALL or w[i] in _TENS or w[i] in _ORD_ANY) else None
+        opener = (
+            w[i] in _SMALL
+            or w[i] in _TENS
+            or w[i] in _ORD_ANY
+            or (
+                w[i] == "a"
+                and i + 1 < len(w)
+                and (w[i + 1] == "hundred" or w[i + 1] in _SCALE_VAL)
+            )
+        )
+        r = _number(w, i) if opener else None
         if r is not None:
             out.append(r[0])
             i = r[1]

@@ -141,7 +141,7 @@ def test_whisper_normalize_property_parity(spark, corpus):
 _numword_alphabet = st.sampled_from(
     ["one", "two", "nine", "ten", "nineteen", "twenty", "ninety", "hundred",
      "thousand", "million", "and", "point", "zero", "first", "twelfth",
-     "twentieth", "hundredth", "apples", "the", "score"]
+     "twentieth", "hundredth", "apples", "the", "score", "oh", "a", "eighty"]
 )
 numword_texts = st.lists(_numword_alphabet, min_size=0, max_size=12).map(" ".join)
 
@@ -161,7 +161,20 @@ def test_number_words_pinned_readings():
     assert f(None) is None
     assert f("five hundred thousand and one") == "500001"
     assert f("thirty and forty") == "30 and 40"
-    assert f("eleven twelve") == "11 12"
+    # year pairing (r4): teen/tens pairs — "eleven twelve" reads as a
+    # year-style 1112 (the rule is deliberately uniform over 10-99 pairs)
+    assert f("eleven twelve") == "1112"
+    assert f("nineteen eighty four") == "1984"
+    assert f("nineteen oh five") == "1905"
+    assert f("twenty twenty one") == "2021"
+    assert f("nineteen hundred and five") == "1905"
+    assert f("nine eighty") == "9 80"  # first half must be 10-99
+    assert f("nineteen oh oh") == "19 oh oh"  # 'oh' needs a trailing digit
+    assert f("a hundred and five") == "105"
+    assert f("a thousand and one") == "1001"
+    assert f("a hundred thousand") == "100000"
+    assert f("not a hundred percent sure but a lot") == "not 100 percent sure but a lot"
+    assert f("a day a week a month") == "a day a week a month"
     assert f("seven trillion") == "7000000000000"
     # ascending scales split the run: "two thousand three" reads greedily,
     # the dangling "million" passes through
@@ -207,6 +220,7 @@ def test_en_number_words_vs_reading_oracle_fuzz():
         "first", "twelfth", "twentieth", "hundredth", "thousandth",
         "apples", "the", "score",
         "dollars", "dollar", "cents", "cent", "pounds", "pence", "a", "half",
+        "oh", "eighty",  # r4: year-pairing vocabulary
     ]
     rng = random.Random(13)
     for _ in range(20000):
