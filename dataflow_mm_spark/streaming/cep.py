@@ -208,6 +208,169 @@ def cep_stream(turns: DataFrame, close_gap: str = "30 minutes") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas variant (r4) — Spark's arbitrary-state v2 API.
+# Same FSM (_conv_step/_conv_close), but state lives in a per-key ValueState
+# managed by the RocksDB state store (REQUIRED by the API) and conversation
+# close is a registered event-time TIMER instead of a GroupStateTimeout /
+# bucket sweep. Scale properties vs the two applyInPandasWithState forms:
+# only keys with input or an expired timer reach Python (quiet conversations
+# cost zero Arrow traffic, like the bucketed path's verbatim carry but
+# without the bucket blob), state is off-heap/disk-spilling by construction
+# (no provider crossover to manage), and timers replace the close sweep.
+# The trade is per-key Python dispatch (one handleInputRows per conv per
+# batch), which the bucketed path amortizes over ~buckets groups.
+# Runtime gate: pyspark's TWS state-server client is protobuf-encoded and
+# this sandbox has no protobuf package (and no installs), so the Spark-side
+# parity test is skip-gated (tws_available); the processor's own glue —
+# pack/unpack, timer retargeting, close/tombstone/retention — is fully
+# unit-tested with fakes (tests/test_streaming.py test_cep_tws_processor_glue).
+# ---------------------------------------------------------------------------
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class _CepProcessor(StatefulProcessor):
+    """StatefulProcessor wrapping the shared conversation FSM.
+
+    Timer discipline: exactly one live timer per conversation — each input
+    batch retargets it to max(last_activity + horizon, watermark + 1s); the
+    horizon is the close gap while active, RETENTION_GAPS × gap for a
+    tombstone (mirroring _cep_fn's setTimeoutTimestamp)."""
+
+    def __init__(self, close_gap_us: int):
+        self._gap_us = close_gap_us
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._st = handle.getValueState("fsm", STATE_SCHEMA)
+
+    def _retarget(self, new_ms: int) -> None:
+        have_new = False
+        for t in list(self._handle.listTimers()):
+            if t == new_ms:
+                have_new = True
+            else:
+                self._handle.deleteTimer(t)
+        if not have_new:
+            self._handle.registerTimer(new_ms)
+
+    def handleInputRows(self, key, rows, timerValues):
+        conv_id = key[0]
+        st = _unpack(tuple(self._st.get())) if self._st.exists() else _unpack(_EMPTY)
+        out: list = []
+        arrivals = []
+        for pdf in rows:
+            for r in pdf.itertuples():
+                arrivals.append(
+                    (
+                        int(r.turn_idx),
+                        r.role,
+                        r.tool if isinstance(r.tool, str) else None,
+                        bool(r.has_call),
+                        _ts_us(r.ts),
+                    )
+                )
+        _conv_step(conv_id, st, arrivals, out)
+        self._st.update(_pack(st))
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        horizon_us = (
+            self._gap_us if (st[6] > 0 or st[5]) else RETENTION_GAPS * self._gap_us
+        )
+        self._retarget(max(st[10] // 1000 + horizon_us // 1000, wm_ms + 1000))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["conv_id", "kind", "turn_idx", "detail", "ts"]
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        conv_id = key[0]
+        if not self._st.exists():
+            return
+        st = _unpack(tuple(self._st.get()))
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        out: list = []
+        if st[6] > 0 or st[5]:
+            _conv_close(conv_id, st, out)
+            if st[10] + RETENTION_GAPS * self._gap_us < wm_ms * 1000:
+                self._st.clear()
+            else:
+                self._st.update(_pack(st))
+                self._retarget(
+                    max(
+                        st[10] // 1000 + RETENTION_GAPS * (self._gap_us // 1000),
+                        wm_ms + 1000,
+                    )
+                )
+        else:
+            self._st.clear()  # tombstone retention expired
+        if out:
+            yield pd.DataFrame(
+                out, columns=["conv_id", "kind", "turn_idx", "detail", "ts"]
+            )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the ``protobuf`` package (its
+    state-server protocol is protobuf-encoded — pyspark
+    ``stateful_processor_api_client`` imports ``google.protobuf``). Absent
+    in this sandbox (no installs); present on any cluster with standard
+    pyspark extras."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def cep_stream_tws(turns: DataFrame, close_gap: str = "30 minutes") -> DataFrame:
+    """transformWithStateInPandas form of cep_stream (same detections).
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    ``ROCKSDB_PROVIDER`` at query start (jobs.cep_pipeline(variant="tws")
+    sets it) and the ``protobuf`` package (see tws_available)."""
+    from pyspark.sql import functions as F
+
+    if not tws_available():
+        raise ImportError(
+            "cep_stream_tws needs the 'protobuf' package (pyspark's "
+            "transformWithState state-server client is protobuf-encoded); "
+            "install protobuf or use cep_stream/cep_stream_bucketed"
+        )
+    gap_us = _parse_gap_us(close_gap)
+    return (
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            _has_call(F.col("text")).alias("has_call"),
+            "tool",
+            "ts",
+        )
+        .groupBy("conv_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_CepProcessor(gap_us),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
 BUCKET_STATE_SCHEMA = T.StructType(
     [
         T.StructField("convs_blob", T.StringType()),

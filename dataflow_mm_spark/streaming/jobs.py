@@ -206,22 +206,35 @@ def cep_pipeline(
     bucketed: bool = True,
     buckets: int = 1024,
     sink_mode: str = "exactly_once",
+    variant: str | None = None,
 ):
     """Role-alternation + tool-pairing CEP event stream → sink. Default uses
     the bucketed state layout (per-group constant amortized over ~buckets
     groups instead of one group per conversation — see cep_stream_bucketed).
+    ``variant`` overrides the layout: "tws" selects the
+    transformWithStateInPandas form (arbitrary-state v2: per-key RocksDB
+    ValueState + event-time close timers — this sets the session's state
+    store provider to RocksDB, which the API requires); "perconv"/"bucketed"
+    mirror the boolean.
 
     Deployment note (measured, BENCH.md §2 r4): size ``max_files_per_trigger``
     so rows/batch/executor × ~250B stays within the executor's cache share —
     ≲220k rows per 8-core executor on the bench box. Oversized micro-batches
     blow the shared cache under executor density and BOTH scaling efficiency
     (0.597 → 0.24) and absolute fleet throughput (−25%) collapse."""
-    from dataflow_mm_spark.streaming.cep import cep_stream_bucketed
+    from dataflow_mm_spark.streaming.cep import (
+        ROCKSDB_PROVIDER,
+        cep_stream_bucketed,
+        cep_stream_tws,
+    )
 
     turns = read_transcript_stream(
         spark, input_path, max_files_per_trigger, watermark
     )
-    if bucketed:
+    if variant == "tws":
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        events = cep_stream_tws(turns, close_gap)
+    elif bucketed and variant != "perconv":
         events = cep_stream_bucketed(turns, close_gap, buckets)
     else:
         events = cep_stream(turns, close_gap)

@@ -74,12 +74,44 @@ def test_exact_dedup_stream_removes_duplicates(spark, tmp_path):
 import pytest
 
 
-@pytest.mark.parametrize("bucketed", [False, True], ids=["per-conv", "bucketed"])
-def test_cep_stream_matches_batch(spark, tmp_path, bucketed):
+from dataflow_mm_spark.streaming.cep import tws_available
+
+
+@pytest.mark.parametrize(
+    "variant",
+    [
+        "perconv",
+        "bucketed",
+        pytest.param(
+            "tws",
+            marks=pytest.mark.skipif(
+                not tws_available(),
+                reason="transformWithStateInPandas needs the protobuf package "
+                "(absent in this sandbox; path is import-gated — see "
+                "cep.tws_available)",
+            ),
+        ),
+    ],
+    ids=["per-conv", "bucketed", "tws"],
+)
+def test_cep_stream_matches_batch(spark, tmp_path, variant):
     inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
     df = _write_input(spark, inp, n_convs=60)
-    q, sink = jobs.cep_pipeline(spark, inp, out, ckpt, bucketed=bucketed, buckets=32)
-    q.awaitTermination(600)
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        q, sink = jobs.cep_pipeline(
+            spark, inp, out, ckpt, buckets=32, variant=variant
+        )
+        q.awaitTermination(600)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
     got = sink.read_committed(spark).filter(F.col("conv_id") != "conv-sentinel")
 
     viol_s = {
@@ -505,3 +537,155 @@ def test_drain_resumable_restarts_from_checkpoint_once():
     with pytest.raises(TimeoutError, match="drain exceeded"):
         jobs.drain_resumable(start_hung, timeout_s=0.01)
     assert calls["n"] == 2 and all(q.stopped for q in hung)
+
+
+# --- transformWithStateInPandas processor glue (runs WITHOUT protobuf) ------
+# The TWS runtime itself needs google.protobuf (absent here — the stream
+# parity param above is skip-gated), but the processor's state pack/unpack,
+# timer-retarget discipline, close/tombstone/retention logic are pure Python:
+# drive them with fakes and pin the behavior to the same FSM semantics the
+# per-conv/bucketed parity tests pin on Spark.
+
+class _FakeValueState:
+    def __init__(self):
+        self.v = None
+
+    def exists(self):
+        return self.v is not None
+
+    def get(self):
+        return self.v
+
+    def update(self, v):
+        self.v = tuple(v)
+
+    def clear(self):
+        self.v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+        self.timers = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+    def registerTimer(self, ts):
+        self.timers.add(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.discard(ts)
+
+    def listTimers(self):
+        return iter(sorted(self.timers))
+
+
+class _FakeTimerValues:
+    def __init__(self, wm_ms):
+        self._wm = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._wm
+
+
+def _turns_pdf(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        rows, columns=["turn_idx", "role", "tool", "has_call", "ts"]
+    )
+
+
+def test_cep_tws_processor_glue():
+    import pandas as pd
+
+    from dataflow_mm_spark.streaming.cep import _CepProcessor
+
+    gap_us = 60_000_000  # 1 minute
+    p = _CepProcessor(gap_us)
+    h = _FakeHandle()
+    p.init(h)
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+    def ts(s):
+        return t0 + pd.Timedelta(seconds=s)
+
+    # batch 0: out-of-order arrival (turn 2 before turn 1), open tool call
+    out0 = list(
+        p.handleInputRows(
+            ("c1",),
+            iter([_turns_pdf([
+                (0, "user", None, False, ts(0)),
+                (2, "tool", "search", False, ts(20)),  # buffered (gap)
+                (1, "assistant", "search", True, ts(10)),
+            ])]),
+            _FakeTimerValues(0),
+        )
+    )
+    ev0 = [tuple(r[["conv_id", "kind", "turn_idx"]]) for _, r in out0[0].iterrows()]
+    assert ("c1", "tool_paired", 1) in ev0  # gap filled within the batch
+    assert len(h.timers) == 1  # exactly one live timer
+    (t_close,) = h.timers
+    assert t_close == ts(20).value // 10**6 + 60_000  # last activity + gap
+
+    # batch 1: duplicate of a consumed turn is dropped; same-role violation
+    out1 = list(
+        p.handleInputRows(
+            ("c1",),
+            iter([_turns_pdf([
+                (1, "assistant", "search", True, ts(10)),  # stale dup
+                (3, "user", None, False, ts(30)),
+                (4, "user", None, False, ts(40)),  # role violation
+            ])]),
+            _FakeTimerValues(5_000),
+        )
+    )
+    ev1 = [tuple(r[["conv_id", "kind", "turn_idx"]]) for _, r in out1[0].iterrows()]
+    assert ev1 == [("c1", "role_violation", 4)]
+    assert len(h.timers) == 1  # retargeted, old timer deleted
+    (t_close1,) = h.timers
+    assert t_close1 == ts(40).value // 10**6 + 60_000
+
+    # close: watermark passes last activity + gap -> summary emitted,
+    # tombstone kept, retention timer registered
+    wm_close = ts(40).value // 10**6 + 61_000
+    outc = list(
+        p.handleExpiredTimer(("c1",), _FakeTimerValues(wm_close), None)
+    )
+    kinds = [r["kind"] for _, r in outc[0].iterrows()]
+    assert kinds == ["conv_summary"]
+    import json as _json
+
+    summary = _json.loads(outc[0].iloc[0]["detail"])
+    assert summary["n_turns"] == 5 and summary["n_violations"] == 1
+    assert summary["n_paired"] == 1 and summary["n_unpaired"] == 0
+    assert h.state.exists()  # tombstone retained
+    assert len(h.timers) == 1  # retention timer
+
+    # resume after close: FSM continues (turn 5 'user' vs tombstone
+    # last_ua_role 'user' -> violation), counters restarted
+    out2 = list(
+        p.handleInputRows(
+            ("c1",),
+            iter([_turns_pdf([(5, "user", None, False, ts(100))])]),
+            _FakeTimerValues(wm_close),
+        )
+    )
+    ev2 = [tuple(r[["conv_id", "kind", "turn_idx"]]) for _, r in out2[0].iterrows()]
+    assert ev2 == [("c1", "role_violation", 5)]
+
+    # second close, then retention expiry with watermark far beyond:
+    # state fully removed
+    wm2 = ts(100).value // 10**6 + 61_000
+    list(p.handleExpiredTimer(("c1",), _FakeTimerValues(wm2), None))
+    assert h.state.exists()  # tombstone again
+    wm3 = ts(100).value // 10**6 + 10 * 60_000
+    out3 = list(p.handleExpiredTimer(("c1",), _FakeTimerValues(wm3), None))
+    assert out3 == [] and not h.state.exists()
+
+    # expired timer for a key with no state is a no-op
+    assert list(p.handleExpiredTimer(("cX",), _FakeTimerValues(wm3), None)) == []
