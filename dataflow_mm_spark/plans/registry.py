@@ -2460,11 +2460,19 @@ def transcripts_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             phash("dupkey", F.col("conv_id"), F.col("turn_idx")) % 17 == 0
         )
         dup_arrivals.coalesce(1).write.mode("append").parquet(inp)
-        drain_resumable(lambda: turns_pipeline(
+        sink = drain_resumable(lambda: turns_pipeline(
             spark, inp, out, ck, max_files_per_trigger=2
         ))
+        # r4: COMPACT the first half of the committed micro-batches into one
+        # generation (Iceberg rewrite_data_files analogue) before reading —
+        # the unchanged value hash below proves compaction preserves rows
+        # exactly AND that the mixed read path (one generation manifest +
+        # live batch directories) is exact, under the multi-batch duplicate
+        # arrivals above
+        committed = sink.committed_batches(spark)
+        sink.compact(spark, upto_batch=committed[len(committed) // 2])
         res = (
-            spark.read.parquet(out)
+            sink.read_committed(spark)
             .select(
                 "conv_id",
                 "turn_idx",

@@ -44,6 +44,7 @@ class _HadoopFS:
 
     def __init__(self, spark: SparkSession, base: str):
         jvm = spark._jvm
+        self._jvm = jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self.fs = self._Path(base).getFileSystem(spark._jsc.hadoopConfiguration())
 
@@ -60,6 +61,27 @@ class _HadoopFS:
         if not self.exists(d):
             return []
         return [s.getPath().getName() for s in self.fs.listStatus(self._Path(d))]
+
+    def read_text(self, p: str) -> str:
+        """Small-file read through the Hadoop FS API (manifests are tiny).
+        commons-io ships with hadoop-client; a byte-loop fallback keeps the
+        path dependency-free."""
+        stream = self.fs.open(self._Path(p))
+        try:
+            try:
+                return self._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            except Exception:
+                buf = bytearray()
+                while True:
+                    b = stream.read()
+                    if b < 0:
+                        break
+                    buf.append(b)
+                return buf.decode("utf-8")
+        finally:
+            stream.close()
 
     def write_atomic(self, p: str, data: str) -> None:
         """create(tmp) + rename — the classic object-store-safe commit.
@@ -137,9 +159,49 @@ class ExactlyOnceParquetSink:
         names = self._fs(spark).list_names(f"{self.out_dir}/_manifest")
         return sorted(int(n[:-5]) for n in names if n.endswith(".json"))
 
-    def read_committed(self, spark) -> DataFrame:
+    def manifests(self, spark: SparkSession | None = None) -> dict[int, dict]:
+        """batch_id → manifest JSON, for every committed batch (small files —
+        one tiny JSON per micro-batch / compaction generation)."""
         fs = self._fs(spark)
-        paths = [self._batch_path(b) for b in self.committed_batches(spark)]
+        out: dict[int, dict] = {}
+        for b in self.committed_batches(spark):
+            out[b] = json.loads(fs.read_text(self._manifest_path(b)))
+        return out
+
+    def _live_paths(
+        self, spark: SparkSession | None, as_of_batch: int | None
+    ) -> list[str]:
+        """Resolve manifests → data paths, honoring compaction generations
+        (a compacted manifest carries ``covers`` + ``path``; batches covered
+        by ANOTHER manifest are skipped — the mid-crash window between the
+        anchor-manifest swap and the covered-manifest deletes therefore
+        reads exactly once)."""
+        ms = self.manifests(spark)
+        if as_of_batch is not None:
+            ms = {b: m for b, m in ms.items() if b <= as_of_batch}
+            for b, m in ms.items():
+                horizon = max(m.get("covers", [b]))
+                if horizon > as_of_batch:
+                    raise ValueError(
+                        f"snapshot as_of_batch={as_of_batch} expired: batch "
+                        f"{b} was compacted together with batches up to "
+                        f"{horizon} (Iceberg-style snapshot expiry)"
+                    )
+        covered: set[int] = set()
+        for b, m in ms.items():
+            covered.update(c for c in m.get("covers", []) if c != b)
+        return [
+            m.get("path") or self._batch_path(b)
+            for b, m in sorted(ms.items())
+            if b not in covered
+        ]
+
+    def read_committed(self, spark, as_of_batch: int | None = None) -> DataFrame:
+        """Committed rows only; ``as_of_batch`` time-travels to the snapshot
+        after that micro-batch committed (manifest listing is the snapshot —
+        batch directories are immutable once manifested)."""
+        fs = self._fs(spark)
+        paths = self._live_paths(spark, as_of_batch)
         # a MANIFESTED batch with a missing data directory is data loss, not
         # something to silently skip — the manifest is the commit point
         missing = [p for p in paths if not fs.exists(p)]
@@ -150,6 +212,60 @@ class ExactlyOnceParquetSink:
         if not paths:
             raise FileNotFoundError(f"no committed batches under {self.out_dir}")
         return spark.read.parquet(*paths)
+
+    def compact(
+        self,
+        spark: SparkSession | None = None,
+        upto_batch: int | None = None,
+        target_partitions: int | None = None,
+    ) -> dict:
+        """Rewrite every committed batch ≤ ``upto_batch`` (default: all) into
+        ONE data directory — the many-small-files answer for a long-running
+        micro-batched stream (Iceberg rewrite_data_files analogue). Row
+        values, including the per-row ``_batch_id``/``_part_id`` lineage,
+        are preserved exactly; only the file layout changes.
+
+        Crash-safe ordering: (1) write the compacted directory; (2) swap the
+        LOWEST covered batch's manifest to a generation manifest carrying
+        ``covers`` (the atomic commit point — readers skip covered batches
+        from that instant); (3) delete covered manifests; (4) delete old
+        data directories. A crash between any steps leaves reads exact; a
+        re-run of compact() completes the cleanup (orphan directories are
+        overwritten or removed)."""
+        s = spark or self._spark or SparkSession.getActiveSession()
+        fs = self._fs(s)
+        ms = self.manifests(s)
+        ids = sorted(b for b in ms if upto_batch is None or b <= upto_batch)
+        if len(ids) < 2:
+            return {"compacted": 0}
+        lo, hi = ids[0], ids[-1]
+        dest = f"{self.out_dir}/_compacted/{lo}-{hi}"
+        df = s.read.parquet(*self._live_paths(s, None if upto_batch is None else hi))
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        obs = Observation()
+        writer = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        )
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(dest)
+        covers = sorted(set(ids) | {c for b in ids for c in ms[b].get("covers", [])})
+        manifest = {
+            "batch_id": lo,
+            "rows": obs.get["rows"],
+            "covers": covers,
+            "path": dest,
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        old_paths = [ms[b].get("path") or self._batch_path(b) for b in ids]
+        fs.write_atomic(self._manifest_path(lo), json.dumps(manifest))  # commit
+        for b in ids[1:]:
+            fs.delete(self._manifest_path(b), recursive=False)
+        for p in old_paths:
+            if p != dest and fs.exists(p):
+                fs.delete(p, recursive=True)
+        return manifest
 
 
 class MetricsListener:
