@@ -9,8 +9,11 @@ Packaging (north rule: ``spark-submit --py-files``):
         --checkpoint s3://bucket/ck --watermark "10 minutes" --continuous
 
 Jobs: turns (dedup + quality enrich), windows (tumbling agg), cep (pattern
-events), sessions (session_window agg), neardup (MinHash candidates),
-context (prev-turn join), merge (size-capped span merge, W6 merge mode).
+events; --cep-variant picks the state layout), sessions (session_window
+agg), neardup (MinHash candidates), context (prev-turn join), merge
+(size-capped span merge, W6 merge mode), compact (maintenance: rewrite a
+sink's committed micro-batch dirs into one generation — small-files
+compaction; only --output is required).
 ``--continuous`` keeps the stream
 running with a processing-time trigger; default drains available input and
 exits (availableNow). Re-running with the same --checkpoint resumes from the
@@ -31,11 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser(description="dataflow-mm-spark streaming jobs")
     p.add_argument("--job", choices=["turns", "windows", "cep", "sessions", "neardup",
-                                     "context", "merge"],
+                                     "context", "merge", "compact"],
                    required=True)
-    p.add_argument("--input", required=True, help="parquet dir / table path")
+    p.add_argument("--input", default=None, help="parquet dir / table path")
     p.add_argument("--output", required=True, help="sink dir")
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", default=None)
     p.add_argument("--watermark", default="10 minutes")
     p.add_argument("--window", default="5 minutes")
     p.add_argument("--gap", default="30 minutes")
@@ -45,7 +48,15 @@ def main() -> None:
     p.add_argument("--trigger-interval", default="10 seconds")
     p.add_argument("--metrics", default=None, help="progress metrics jsonl path")
     p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--cep-variant", choices=["bucketed", "perconv", "tws"],
+                   default="bucketed",
+                   help="CEP state layout (tws = transformWithStateInPandas/"
+                        "RocksDB; needs the protobuf package)")
+    p.add_argument("--target-partitions", type=int, default=None,
+                   help="compact: repartition the generation to N files")
     args = p.parse_args()
+    if args.job != "compact" and not (args.input and args.checkpoint):
+        p.error(f"--input and --checkpoint are required for --job {args.job}")
 
     from dataflow_mm_spark.session import get_spark
     from dataflow_mm_spark.streaming import jobs
@@ -54,6 +65,18 @@ def main() -> None:
     spark = get_spark(f"dfmm-{args.job}")
     if args.metrics:
         spark.streams.addListener(MetricsListener(args.metrics).make())
+
+    if args.job == "compact":
+        # maintenance pass over an exactly-once sink: rewrite committed
+        # micro-batch dirs into one generation (small-files compaction)
+        import json
+
+        from dataflow_mm_spark.streaming.sink import ExactlyOnceParquetSink
+
+        sink = ExactlyOnceParquetSink(args.output)
+        manifest = sink.compact(spark, target_partitions=args.target_partitions)
+        print(json.dumps(manifest))
+        return
 
     common = dict(
         spark=spark,
@@ -79,6 +102,7 @@ def main() -> None:
         q, _ = jobs.cep_pipeline(
             close_gap=args.gap,
             max_files_per_trigger=args.max_files_per_trigger,
+            variant=args.cep_variant,
             **common,
         )
     elif args.job == "neardup":
