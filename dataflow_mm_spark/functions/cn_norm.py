@@ -7,8 +7,14 @@ hits most: cardinal integers, decimals, percentages and signed numbers spoken
 in Mandarin, plus dates (年), latin unit suffixes, phone numbers (mobile
 ``1[3-9]``+9 digits and dashed landlines, digit-by-digit with 幺) and
 fractions (``N/M`` → 分母分之分子, cn_tn.py:813-828) and full-width digit
-forms (folded to ASCII before matching). Idioms (成语 protection lists)
-remain out of scope (documented partial).
+forms (folded to ASCII before matching). r4 adds the reference's remaining
+NSW classes (cn_tn.py:933-1016): money (number + optional 多/余/几 + currency
+unit reads as a cardinal, unit kept), cardinal-with-quantifier (number before
+a measure word reads as a cardinal even when ≥4 digits), digit-ID (a BARE run
+of ≥4 digits with no quantifier/unit/sign/decimal context is an identifier —
+digit-by-digit with regular 一), and the letter-2-letter restore (B2B/P2P/O2O:
+a 二 produced between latin letters restores to ``2``). Documented exclusions:
+2-digit years (ambiguous with durations), dash-less landline numbers.
 
 Reading rules implemented:
 * digits 0-9 → 零一二三四五六七八九; positions 十百千, groups 万/亿/万亿
@@ -124,16 +130,20 @@ def read_phone(s: str) -> str:
 def read_number(token: str) -> str:
     """Reading of a matched numeric token:
     ``DDDD年`` (year, digit-by-digit), a phone number (mobile ``1[3-9]``+9
-    digits or dashed landline, digit-by-digit with 幺), or
-    ``[-]digits[.digits][%|unit]``."""
+    digits or dashed landline, digit-by-digit with 幺), a money/quantifier
+    token (``digits[.digits][多余几]<CJK unit>`` — cardinal + suffix kept,
+    cn_tn.py:933-946,983-990), or ``[-]digits[.digits][%|unit]``."""
     t = token
-    if t.endswith("年"):  # 4-digit year — matched only as \d{4}年
+    if t.endswith("年") and _YEAR_RE.fullmatch(t):  # 4-digit year
         return read_digits(t[:-1]) + "年"
     if _PHONE_RE.fullmatch(t):
         return read_phone(t)
     if "/" in t:  # fraction N/M → 分母分之分子 (cn_tn.py:813-828 semantics)
         num, den = t.split("/", 1)
         return read_int(int(den)) + "分之" + read_int(int(num))
+    mq = _MONEYQ_SPLIT_RE.fullmatch(t)
+    if mq:  # money / quantifier: cardinal reading, CJK suffix unchanged
+        return read_number(mq.group(1)) + mq.group(2) + mq.group(3)
     prefix = ""
     if t.startswith("-"):
         prefix, t = "负", t[1:]
@@ -158,13 +168,53 @@ def read_number(token: str) -> str:
 
 
 _PHONE_RE = re.compile(r"1[3-9]\d{9}|0\d{2,3}-\d{7,8}")
+_YEAR_RE = re.compile(r"\d{4}年")
+
+# money units (cn_tn.py:44 semantics): magnitude-prefixed 元/块, the small
+# units 角/毛/分, and bare magnitude words (3万 is money in the reference)
+_CN_MAG = "亿|千万|百万|万|千|百"
+_MONEY_UNIT = rf"(?:(?:{_CN_MAG})?[元块]|[角毛分]|{_CN_MAG})"
+# common measure words (cn_tn.py:45 COM_QUANTIFIERS semantics — a
+# representative single-char subset; extend for corpus-specific vocabulary)
+_QUANT_CHARS = (
+    "个条张只件位名台辆架间家颗棵座场次回本页杯瓶匹头双对份组段句字词行列"
+    "篇节章盒袋箱桶罐碗盘碟支枝根道面片岁人层户门队班课站楼年月日天周时刻秒"
+)
+_MONEYQ = rf"(?:{_MONEY_UNIT}|[{_QUANT_CHARS}])"
+# token splitter for read_number: number + optional approximation char
+# (多/余/几, kept verbatim) + the CJK unit/quantifier suffix
+_MONEYQ_SPLIT_RE = re.compile(r"(\d+(?:\.\d+)?)([多余几]?)([一-鿿]+)")
+_IDRUN_RE = re.compile(r"\d{4,}")
+# letter-2-letter restore (cn_tn.py:1009-1016): B2B/P2P/O2O keep their digit
+_L2L_RE = re.compile(r"(?<=[A-Za-z])二(?=[A-Za-z])")
+
+# a '-' directly before a year/phone/fraction is NOT a minus sign — the
+# higher-priority class wins (keeps leftmost-match parity with the oracle's
+# staged passes, which rewrite those classes before the signed pass runs)
+_SG = r"(?!\d{4}年)(?!(?:1[3-9]\d{9}|0\d{2,3}-\d{7,8}|\d+/\d+)(?!\d))"
+
 _NUM_RE = re.compile(
-    r"\d{4}年"
+    r"(?<!\d)\d{4}年"
     r"|(?<!\d)1[3-9]\d{9}(?!\d)"          # mobile
     r"|(?<!\d)0\d{2,3}-\d{7,8}(?!\d)"     # dashed landline
     r"|(?<!\d)\d+/\d+(?!\d)"              # fraction (cn_tn.py:968-973)
-    r"|-?\d+(?:\.\d+)?(?:%|kg|km|cm|mm|℃)?"
+    rf"|\d+(?:\.\d+)?[多余几]?{_MONEYQ}"   # money / quantifier → cardinal
+    rf"|(?:-{_SG})?\d+(?:\.\d+)?(?:%|kg|km|cm|mm|℃)"  # percent / latin unit
+    rf"|(?:-{_SG})?\d+\.\d+"              # decimal
+    rf"|-{_SG}\d+"                        # signed integer
+    r"|\d{4,}(?!\d)"                      # bare digit-ID → digit-by-digit
+    r"|\d+"                               # short bare cardinal
 )
+
+
+def _render_token(tok: str) -> str:
+    """Text-level dispatch: a BARE ≥4-digit run (no year/phone/suffix/sign
+    context — those alternatives matched first) is an identifier and reads
+    digit-by-digit (cn_tn.py:993-999 数字编号); everything else delegates to
+    :func:`read_number`."""
+    if _IDRUN_RE.fullmatch(tok) and not _PHONE_RE.fullmatch(tok):
+        return read_digits(tok)
+    return read_number(tok)
 
 
 # full-width (ＦＵＬＬＷＩＤＴＨ) digits, %, minus and dot fold to ASCII
@@ -174,12 +224,14 @@ _FULLWIDTH = str.maketrans("０１２３４５６７８９．％－", "012345678
 
 def cn_normalize_numbers_py(text: str | None) -> str | None:
     """Replace every numeric occurrence in ``text`` with its Mandarin
-    reading (pinned-test kernel)."""
+    reading (pinned-test kernel); a 二 landing between latin letters
+    restores to ``2`` (B2B/P2P/O2O, cn_tn.py:1009-1016)."""
     if text is None:
         return None
-    return _NUM_RE.sub(
-        lambda m: read_number(m.group(0)), text.translate(_FULLWIDTH)
+    out = _NUM_RE.sub(
+        lambda m: _render_token(m.group(0)), text.translate(_FULLWIDTH)
     )
+    return _L2L_RE.sub("2", out)
 
 
 @pandas_udf(T.StringType())

@@ -380,29 +380,91 @@ def cn_phone(s: str) -> str:
 
 _CN_UNITS = {"kg": "千克", "km": "千米", "cm": "厘米", "mm": "毫米", "℃": "摄氏度"}
 
+# money units + measure words — same public classes as the kernel's
+# (cn_tn.py:44-45 semantics); the tokenizer spec is shared, the readings
+# behind each class are this module's own
+_O_MAG = "亿|千万|百万|万|千|百"
+_O_MONEY = rf"(?:(?:{_O_MAG})?[元块]|[角毛分]|{_O_MAG})"
+_O_QUANT = (
+    "个条张只件位名台辆架间家颗棵座场次回本页杯瓶匹头双对份组段句字词行列"
+    "篇节章盒袋箱桶罐碗盘碟支枝根道面片岁人层户门队班课站楼年月日天周时刻秒"
+)
 
-_CN_TOKEN_RE = None  # built lazily; the public cn_tn tokenization spec
+
+_O_RE = None  # built lazily
+
+
+def _o_regex():
+    """The PUBLIC tokenization contract (one alternation, priority year >
+    phone > fraction > money/quantifier > percent/latin-unit > decimal >
+    signed > digit-ID > cardinal; a '-' before a year/phone/fraction is not
+    a sign). The tokenizer spec is shared with the kernel by design — what
+    this oracle keeps independent is the READING algorithms (pure
+    descending-unit recursion + named-group dispatch, vs the kernel's
+    positional hi/lo renderer + token-string re-parsing)."""
+    global _O_RE
+    if _O_RE is None:
+        import re
+
+        sg = r"(?!\d{4}年)(?!(?:1[3-9]\d{9}|0\d{2,3}-\d{7,8}|\d+/\d+)(?!\d))"
+        _O_RE = re.compile(
+            r"(?<!\d)(?P<year>\d{4})年"
+            r"|(?<!\d)(?P<phone>1[3-9]\d{9}|0\d{2,3}-\d{7,8})(?!\d)"
+            r"|(?<!\d)(?P<fnum>\d+)/(?P<fden>\d+)(?!\d)"
+            rf"|(?P<mqn>\d+(?:\.\d+)?)(?P<mqa>[多余几]?)"
+            rf"(?P<mqu>{_O_MONEY}|[{_O_QUANT}])"
+            rf"|(?P<usign>-{sg})?(?P<unum>\d+(?:\.\d+)?)(?P<unit>%|kg|km|cm|mm|℃)"
+            rf"|(?P<dsign>-{sg})?(?P<dint>\d+)\.(?P<dfrac>\d+)"
+            rf"|-{sg}(?P<sint>\d+)"
+            r"|(?P<idrun>\d{4,})(?!\d)"
+            r"|(?P<card>\d+)"
+        )
+    return _O_RE
+
+
+def _o_render(m) -> str:
+    """Named-group dispatch: each token class renders via the oracle's own
+    reading primitives."""
+    g = m.groupdict()
+    if g["year"] is not None:
+        return cn_digits(g["year"]) + "年"
+    if g["phone"] is not None:
+        return cn_phone(g["phone"])
+    if g["fnum"] is not None:
+        return cn_int(int(g["fden"])) + "分之" + cn_int(int(g["fnum"]))
+    if g["mqn"] is not None:
+        return _o_plain(g["mqn"]) + g["mqa"] + g["mqu"]
+    if g["unum"] is not None:
+        body = _o_plain(g["unum"])
+        body = "百分之" + body if g["unit"] == "%" else body + _CN_UNITS[g["unit"]]
+        return ("负" if g["usign"] else "") + body
+    if g["dint"] is not None:
+        sign = "负" if g["dsign"] else ""
+        return sign + cn_int(int(g["dint"])) + "点" + cn_digits(g["dfrac"])
+    if g["sint"] is not None:
+        return "负" + cn_int(int(g["sint"]))
+    if g["idrun"] is not None:
+        return cn_digits(g["idrun"])
+    return cn_int(int(g["card"]))
 
 
 def cn_text(text: str) -> str:
-    """Text-level normalization: replace every numeric occurrence (per the
-    public cn_tn tokenization — years, phones, signed decimals with %/unit
-    suffixes, full-width folded) with its reading."""
+    """Text-level normalization: tokenization per the shared public spec,
+    readings from this module's independent recursion; the trailing pass
+    restores a 二 between latin letters to ``2`` (B2B/P2P/O2O)."""
     import re
 
-    global _CN_TOKEN_RE
-    if _CN_TOKEN_RE is None:
-        _CN_TOKEN_RE = re.compile(
-            r"\d{4}年"
-            r"|(?<!\d)1[3-9]\d{9}(?!\d)"
-            r"|(?<!\d)0\d{2,3}-\d{7,8}(?!\d)"
-            r"|(?<!\d)\d+/\d+(?!\d)"
-            r"|-?\d+(?:\.\d+)?(?:%|kg|km|cm|mm|℃)?"
-        )
-    folded = text.translate(
-        str.maketrans("０１２３４５６７８９．％－", "0123456789.%-")
-    )
-    return _CN_TOKEN_RE.sub(lambda m: cn_token(m.group(0)), folded)
+    t = text.translate(str.maketrans("０１２３４５６７８９．％－", "0123456789.%-"))
+    t = _o_regex().sub(_o_render, t)
+    return re.sub(r"(?<=[A-Za-z])二(?=[A-Za-z])", "2", t)
+
+
+def _o_plain(num: str) -> str:
+    """Cardinal or 点-decimal reading of an unsigned numeric string."""
+    if "." in num:
+        whole, frac = num.split(".", 1)
+        return cn_int(int(whole or "0")) + "点" + cn_digits(frac)
+    return cn_int(int(num))
 
 
 def cn_token(token: str) -> str:

@@ -1247,34 +1247,51 @@ _CN_TOKENS = [
     "10000000000000000",  # >= 10^16: digit-by-digit fallback
     "1/3", "22/7", "3/100",  # fractions: 分母分之分子 (cn_tn Fraction)
 ]
+# r4 NSW-class widening (cn_tn.py:933-1016): money units (multiplied and
+# small), 多/余/几 approximations, quantifier-context cardinals, bare
+# digit-ID runs (digit-by-digit), letter-2-letter restore, and collision
+# shapes between the classes — full phrases, not 共X条-wrapped tokens.
+_CN_PHRASES = [f"共{t}条" for t in _CN_TOKENS] + [
+    "价格3万元再涨500块",     # magnitude money + plain money
+    "花了100多块零5角",       # approx money + small unit
+    "重达2024万的项目",       # 4-digit cardinal before bare magnitude
+    "编号123456已注册",       # bare digit-ID → digit-by-digit
+    "B2B和O2O平台的P2P模式",  # letter-2-letter restore
+    "促销价9块9包邮",          # money with trailing digit
+    "大约20余只猫和3.5个月",   # approx quantifier + decimal quantifier
+    "工号0456和8848哈",       # leading-zero ID + ID before non-quantifier
+    "他有3头牛50只羊100匹马",  # quantifier chain
+    "欠了5000元还了1000多块",  # 4-digit money stays cardinal
+    "12345年后的123456人",    # >4-digit year-like + big quantifier cardinal
+    "存折余额9999几分利息",    # ID-lookahead approx char + money 分
+]
 from dataflow_mm_spark.oracles.reading_oracle import (  # noqa: E402
     cn_text as _oracle_cn_text,
 )
 
-_CN_EXPECTED = [_oracle_cn_text(f"共{t}条") for t in _CN_TOKENS]
+_CN_EXPECTED = [_oracle_cn_text(p) for p in _CN_PHRASES]
 
 
 def docs_cn_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 TextNormalizer, cn_tn engine subset: Mandarin number/date/unit
-    reading embedded in text (共<N>条) over the 39-shape family; expected
-    strings derive from the independent reading_oracle recursion."""
+    """P3 TextNormalizer, cn_tn engine subset: Mandarin number/date/unit/
+    money/quantifier/digit-ID reading embedded in text over the 51-phrase
+    family; expected strings derive from the independent reading_oracle
+    recursion (cn_tn.py:748-1016 semantics)."""
     from dataflow_mm_spark.functions.cn_norm import cn_normalize_numbers
 
-    n = len(_CN_TOKENS)
-    tok = F.element_at(
-        F.array(*[F.lit(s) for s in _CN_TOKENS]),
+    n = len(_CN_PHRASES)
+    phrase = F.element_at(
+        F.array(*[F.lit(s) for s in _CN_PHRASES]),
         (F.col("doc_id") % n + 1).cast("int"),
     )
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.concat(F.lit("共"), tok, F.lit("条")).alias("_t")
-    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", phrase.alias("_t"))
     return docs.select("doc_id", cn_normalize_numbers(F.col("_t")).alias("norm"))
 
 
 DOCS_CN_SQL = (
     "SELECT doc_id, (["
     + ", ".join(f"'{r}'" for r in _CN_EXPECTED)
-    + f"])[CAST(doc_id % {len(_CN_TOKENS)} AS INT) + 1] AS norm FROM documents"
+    + f"])[CAST(doc_id % {len(_CN_PHRASES)} AS INT) + 1] AS norm FROM documents"
 )
 
 

@@ -652,6 +652,20 @@ def test_cn_number_normalization(spark):
     txt = "共120034条，错误率0.5%，温度-3度"
     want = "共十二万零三十四条，错误率百分之零点五，温度负三度"
     assert cn_normalize_numbers_py(txt) == want
+    # r4 NSW classes (cn_tn.py:933-1016 semantics): money / quantifier
+    # cardinals, bare digit-IDs, letter-2-letter restore
+    nsw = {
+        "价格3万元": "价格三万元",                  # magnitude money unit
+        "花了100多块": "花了一百多块",               # approx + money
+        "欠了5000元": "欠了五千元",                 # 4-digit money = cardinal
+        "编号123456已注册": "编号一二三四五六已注册",  # bare ID digit-by-digit
+        "B2B和O2O平台": "B2B和O2O平台",            # letter-2-letter restore
+        "促销价9块9": "促销价九块九",               # money + trailing digit
+        "大约20余只猫": "大约二十余只猫",            # approx quantifier
+        "工号0456": "工号零四五六",                 # leading-zero ID
+    }
+    for src, expect in nsw.items():
+        assert cn_normalize_numbers_py(src) == expect, src
     df = spark.createDataFrame([(txt,), (None,)], "t string")
     got = [r.n for r in df.select(cn_normalize_numbers("t").alias("n")).collect()]
     assert got == [want, None]

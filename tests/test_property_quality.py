@@ -247,9 +247,22 @@ def test_cn_readings_vs_reading_oracle_fuzz():
     texts = [
         "共7000200030000条", "温度-3.5kg升到25℃", "电话13812345678或021-87654321",
         "2024年3月15日涨了0.01%", "编号10000000000000000", "１２３．４５％的全角",
+        "价格3万元再涨500多块", "B2B和O2O平台", "编号123456已注册",
+        "促销价9块9包邮", "大约20余只猫和3.5个月", "他有3头牛50只羊",
     ]
     for t in texts:
         assert cn_normalize_numbers_py(t) == RO.cn_text(t), t
+    # r4 NSW classes: adversarial digit-run collision fuzz (money/quantifier
+    # /ID/decimal/phone/fraction adjacencies) — kernel == oracle bit-exact
+    vocab2 = [
+        "0", "3", "12", "1234", "123456", "2024", "-", "多", "几", "余",
+        "元", "块", "角", "条", "个", "万", "千", "年", "月", "%", ".",
+        "/", "kg", "℃", "B", "x", "哈", "１２３", "13812345678",
+        "021-87654321", "5.5", " ",
+    ]
+    for _ in range(20000):
+        t = "".join(rng.choice(vocab2) for _ in range(rng.randrange(0, 9)))
+        assert cn_normalize_numbers_py(t) == RO.cn_text(t), repr(t)
 
 
 def test_cn_textnorm_pipeline_vs_reading_oracle_fuzz():
