@@ -13,8 +13,12 @@ unit reads as a cardinal, unit kept), cardinal-with-quantifier (number before
 a measure word reads as a cardinal even when ≥4 digits), digit-ID (a BARE run
 of ≥4 digits with no quantifier/unit/sign/decimal context is an identifier —
 digit-by-digit with regular 一), and the letter-2-letter restore (B2B/P2P/O2O:
-a 二 produced between latin letters restores to ``2``). Documented exclusions:
-2-digit years (ambiguous with durations), dash-less landline numbers.
+a 二 produced between latin letters restores to ``2``), plus 2-digit years
+(``[089]\\d年`` reads digit-by-digit per the cn_tn date pattern — 99年 is the
+year 99, not a duration; ``1x``-``7x`` two-digit counts before 年 stay
+durations → cardinals).
+Documented exclusion: dash-less landline numbers (ambiguous with digit-IDs,
+which already read digit-by-digit — only the 幺 convention differs).
 
 Reading rules implemented:
 * digits 0-9 → 零一二三四五六七八九; positions 十百千, groups 万/亿/万亿
@@ -168,7 +172,7 @@ def read_number(token: str) -> str:
 
 
 _PHONE_RE = re.compile(r"1[3-9]\d{9}|0\d{2,3}-\d{7,8}")
-_YEAR_RE = re.compile(r"\d{4}年")
+_YEAR_RE = re.compile(r"(?:\d{4}|[089]\d)年")
 
 # money units (cn_tn.py:44 semantics): magnitude-prefixed 元/块, the small
 # units 角/毛/分, and bare magnitude words (3万 is money in the reference)
@@ -194,7 +198,7 @@ _L2L_RE = re.compile(r"(?<=[A-Za-z])二(?=[A-Za-z])")
 _SG = r"(?!\d{4}年)(?!(?:1[3-9]\d{9}|0\d{2,3}-\d{7,8}|\d+/\d+)(?!\d))"
 
 _NUM_RE = re.compile(
-    r"(?<!\d)\d{4}年"
+    r"(?<!\d)(?:\d{4}|[089]\d)年"         # 4-digit or [089]x 2-digit year
     r"|(?<!\d)1[3-9]\d{9}(?!\d)"          # mobile
     r"|(?<!\d)0\d{2,3}-\d{7,8}(?!\d)"     # dashed landline
     r"|(?<!\d)\d+/\d+(?!\d)"              # fraction (cn_tn.py:968-973)

@@ -408,7 +408,7 @@ def _o_regex():
 
         sg = r"(?!\d{4}年)(?!(?:1[3-9]\d{9}|0\d{2,3}-\d{7,8}|\d+/\d+)(?!\d))"
         _O_RE = re.compile(
-            r"(?<!\d)(?P<year>\d{4})年"
+            r"(?<!\d)(?P<year>\d{4}|[089]\d)年"
             r"|(?<!\d)(?P<phone>1[3-9]\d{9}|0\d{2,3}-\d{7,8})(?!\d)"
             r"|(?<!\d)(?P<fnum>\d+)/(?P<fden>\d+)(?!\d)"
             rf"|(?P<mqn>\d+(?:\.\d+)?)(?P<mqa>[多余几]?)"
@@ -465,38 +465,6 @@ def _o_plain(num: str) -> str:
         whole, frac = num.split(".", 1)
         return cn_int(int(whole or "0")) + "点" + cn_digits(frac)
     return cn_int(int(num))
-
-
-def cn_token(token: str) -> str:
-    """Reading of one numeric token in the cn_tn subset: 4-digit years,
-    phones (mobile/dashed landline), [-]digits[.digits][%|unit]."""
-    import re
-
-    t = token
-    if t.endswith("年") and re.fullmatch(r"\d{4}年", t):
-        return cn_digits(t[:-1]) + "年"
-    if re.fullmatch(r"1[3-9]\d{9}|0\d{2,3}-\d{7,8}", t):
-        return cn_phone(t)
-    if re.fullmatch(r"\d+/\d+", t):
-        num, den = t.split("/")
-        return cn_int(int(den)) + "分之" + cn_int(int(num))
-    sign = ""
-    if t.startswith("-"):
-        sign, t = "负", t[1:]
-    unit = ""
-    for u, r in _CN_UNITS.items():
-        if t.endswith(u):
-            unit, t = r, t[: -len(u)]
-            break
-    pct = t.endswith("%")
-    if pct:
-        t = t[:-1]
-    if "." in t:
-        whole, frac = t.split(".", 1)
-        body = cn_int(int(whole or "0")) + "点" + cn_digits(frac)
-    else:
-        body = cn_int(int(t))
-    return sign + ("百分之" + body if pct else body) + unit
 
 
 # --- cn_tn TextNorm pipeline twin (regex-shaped vs the kernel's scan/table

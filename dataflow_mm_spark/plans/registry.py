@@ -1264,6 +1264,8 @@ _CN_PHRASES = [f"共{t}条" for t in _CN_TOKENS] + [
     "欠了5000元还了1000多块",  # 4-digit money stays cardinal
     "12345年后的123456人",    # >4-digit year-like + big quantifier cardinal
     "存折余额9999几分利息",    # ID-lookahead approx char + money 分
+    "89年出生05年入学",       # [089]x 2-digit years → digit-by-digit
+    "活了25年再等12年",       # 1x-7x 2-digit DURATIONS stay cardinals
 ]
 from dataflow_mm_spark.oracles.reading_oracle import (  # noqa: E402
     cn_text as _oracle_cn_text,

@@ -663,6 +663,8 @@ def test_cn_number_normalization(spark):
         "促销价9块9": "促销价九块九",               # money + trailing digit
         "大约20余只猫": "大约二十余只猫",            # approx quantifier
         "工号0456": "工号零四五六",                 # leading-zero ID
+        "89年出生": "八九年出生",                   # [089]x 2-digit year
+        "活了25年": "活了二十五年",                 # 1x-7x duration stays cardinal
     }
     for src, expect in nsw.items():
         assert cn_normalize_numbers_py(src) == expect, src
