@@ -27,15 +27,6 @@ def epoch_seconds(c: Column) -> Column:
     )
 
 
-def epoch_micros(c: Column) -> Column:
-    """Integer wall-clock microseconds since epoch via the same NTZ diff —
-    the DST-safe long form used to ship event time across Arrow as 8 raw
-    bytes (identical to pandas' naive datetime64[us].astype(int64))."""
-    return F.timestamp_diff(
-        "MICROSECOND", F.expr(_EPOCH_NTZ), c.cast("timestamp_ntz")
-    )
-
-
 def timecode_to_seconds(tc: Column) -> Column:
     """``[HH:]MM:SS[.mmm]`` → fractional seconds. Pure-Catalyst base-60
     left-fold over the ':'-split parts, so 1/2/3-part forms all work;

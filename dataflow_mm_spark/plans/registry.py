@@ -1070,7 +1070,7 @@ DOCS_WHISPER_SQL = _whisper_sql()
 
 
 # English number-word engine fixtures (Whisper EnglishNumberNormalizer
-# analogue, functions/normalize.py number_words_to_digits): 51 phrase shapes
+# analogue, functions/normalize.py number_words_to_digits): 60 phrase shapes
 # covering hundreds/thousands/millions groups, "and"-linking and its
 # ambiguity cases ("five and six" vs "two thousand and one"), ordinals incl.
 # composed ("one hundred and first"), decimal point runs, zero isolation,
@@ -1141,8 +1141,9 @@ _NUMWORD_EXPECTED = [_oracle_en_words(p) for p in _NUMWORD_PHRASES]
 
 def docs_number_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 TextNormalizer, Whisper-EN number-word engine: spelled-out numbers
-    → digits over the 40-phrase fixture family; expected strings derive
-    from the independent reading_oracle grammar parser."""
+    → digits over the 60-phrase fixture family (len(_NUMWORD_PHRASES));
+    expected strings derive from the independent reading_oracle grammar
+    parser."""
     from dataflow_mm_spark.functions.normalize import number_words_to_digits
 
     n = len(_NUMWORD_PHRASES)
@@ -1276,9 +1277,9 @@ _CN_EXPECTED = [_oracle_cn_text(p) for p in _CN_PHRASES]
 
 def docs_cn_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 TextNormalizer, cn_tn engine subset: Mandarin number/date/unit/
-    money/quantifier/digit-ID reading embedded in text over the 51-phrase
-    family; expected strings derive from the independent reading_oracle
-    recursion (cn_tn.py:748-1016 semantics)."""
+    money/quantifier/digit-ID reading embedded in text over the 56-phrase
+    family (len(_CN_PHRASES)); expected strings derive from the independent
+    reading_oracle recursion (cn_tn.py:748-1016 semantics)."""
     from dataflow_mm_spark.functions.cn_norm import cn_normalize_numbers
 
     n = len(_CN_PHRASES)
@@ -3083,7 +3084,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_neardup": docs_ngram_neardup,
     "docs_joint_neardup": docs_joint_neardup,
     "events_merge_spans": events_merge_spans,
-    "events_stream_merge": events_stream_merge,
     "top_customers_by_revenue": top_customers_by_revenue,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_windows": events_sliding_windows,
@@ -3137,6 +3137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_image_dims": docs_image_dims,
     "transcripts_stream_pipeline": transcripts_stream_pipeline,
     "transcripts_stream_neardup": transcripts_stream_neardup,
+    "events_stream_merge": events_stream_merge,
     "transcripts_stream_windows": transcripts_stream_windows,
     "transcripts_stream_cep": transcripts_stream_cep,
     "transcripts_stream_sessions": transcripts_stream_sessions,

@@ -580,8 +580,9 @@ def _conv_close(conv_id: str, st: list, out: list) -> None:
 # (int turn_idx + role string avg ~13B + bool) with 8 bytes. Roles outside
 # the known set decode to None: the FSM only ever compares against
 # user/assistant/tool, so unknown roles behave identically to the batch
-# operators (string equality never matches). Event time ships as the
-# DST-safe NTZ epoch-micros long (timeutil.epoch_micros), not a timestamp.
+# operators (string equality never matches). Event time stays a TIMESTAMP
+# column: it carries the watermark tag the analyzer requires inside the
+# stateful operator (see the select below) and is 8 bytes either way.
 # Rationale: the r3 4-executor scaling run put bucketed CEP at 0.312 —
 # BELOW the memory-bandwidth ceiling band — and jobs ranked exactly by
 # Arrow/state bytes moved per turn; single-JVM wall is insensitive to these
@@ -731,10 +732,15 @@ def cep_stream_bucketed(
         if out:
             yield pd.DataFrame(out, columns=cols)
 
+    # NULL-tolerant packing: text is nullable in real corpora and rlike(NULL)
+    # is NULL — an un-coalesced NULL meta arrives in pandas as float64 NaN
+    # and the vectorized `meta >> 4` unpack raises TypeError, killing the
+    # query. NULL text packs has_call=0 (same falsy behavior the unpacked
+    # variants get from a None in an object column); NULL turn_idx packs 0.
     meta = (
-        F.col("turn_idx").cast("long") * 16
+        F.coalesce(F.col("turn_idx").cast("long"), F.lit(0)) * 16
         + _role_code(F.col("role")).cast("long") * 2
-        + _has_call(F.col("text")).cast("long")
+        + F.coalesce(_has_call(F.col("text")).cast("long"), F.lit(0))
     )
     return (
         # ts stays a timestamp: it carries the watermark tag the analyzer

@@ -232,8 +232,23 @@ def cep_pipeline(
         spark, input_path, max_files_per_trigger, watermark
     )
     if variant == "tws":
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-        events = cep_stream_tws(turns, close_gap)
+        # transformWithStateInPandas requires RocksDB. The provider conf is
+        # captured into the query's offset log AT START, so it can be
+        # restored right after _finish starts the query — leaving it set
+        # would silently run every LATER stateful query in this session on
+        # RocksDB below the measured HDFS/RocksDB crossover (CLAUDE.md,
+        # session.state_store_conf).
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+        try:
+            events = cep_stream_tws(turns, close_gap)
+            return _finish(events, out_dir, checkpoint, available_now, sink_mode)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     elif bucketed and variant != "perconv":
         events = cep_stream_bucketed(turns, close_gap, buckets)
     else:

@@ -225,16 +225,52 @@ class ExactlyOnceParquetSink:
         values, including the per-row ``_batch_id``/``_part_id`` lineage,
         are preserved exactly; only the file layout changes.
 
-        Crash-safe ordering: (1) write the compacted directory; (2) swap the
-        LOWEST covered batch's manifest to a generation manifest carrying
-        ``covers`` (the atomic commit point — readers skip covered batches
-        from that instant); (3) delete covered manifests; (4) delete old
-        data directories. A crash between any steps leaves reads exact; a
-        re-run of compact() completes the cleanup (orphan directories are
-        overwritten or removed)."""
+        Crash-safe ordering: (0) finish any interrupted predecessor's
+        cleanup (steps 3-4 below, replayed from the committed generation
+        manifests — this runs FIRST so a re-run after a crash never reads
+        and overwrites the same generation directory); (1) write the
+        compacted directory; (2) swap the LOWEST covered batch's manifest to
+        a generation manifest carrying ``covers`` (the atomic commit point —
+        readers skip covered batches from that instant); (3) delete covered
+        manifests; (4) delete old data directories. A crash between any
+        steps leaves reads exact; a re-run of compact() completes the
+        cleanup.
+
+        Concurrency caveat (same as Iceberg's rewrite_data_files + expire-
+        snapshots): steps 3-4 delete files a reader that listed manifests
+        BEFORE the swap may still reference — run compact as a quiesced
+        maintenance pass (cli.py --job compact), not concurrently with
+        readers holding pre-compaction DataFrames."""
         s = spark or self._spark or SparkSession.getActiveSession()
         fs = self._fs(s)
+        # step 0: replay an interrupted predecessor's steps 3-4 — for every
+        # committed generation manifest, covered manifests and their default
+        # batch directories are garbage (the generation is the committed
+        # single copy of those rows)
         ms = self.manifests(s)
+        for b, m in list(ms.items()):
+            gen_path = m.get("path")
+            for c in m.get("covers", []):
+                if c == b:
+                    continue
+                if c in ms and ms[c].get("path") != gen_path:
+                    stale = ms[c].get("path") or self._batch_path(c)
+                    fs.delete(self._manifest_path(c), recursive=False)
+                    if stale != gen_path and fs.exists(stale):
+                        fs.delete(stale, recursive=True)
+                    ms.pop(c)
+                covered_default = self._batch_path(c)
+                if covered_default != gen_path and fs.exists(covered_default):
+                    if c not in ms:
+                        fs.delete(covered_default, recursive=True)
+        # generation directories no manifest references are leftovers of a
+        # superseded generation or of a crash between the data write and the
+        # manifest swap — both invisible to readers, both safe to drop
+        live_gen = {m.get("path") for m in ms.values() if m.get("path")}
+        for name in fs.list_names(f"{self.out_dir}/_compacted"):
+            p = f"{self.out_dir}/_compacted/{name}"
+            if p not in live_gen:
+                fs.delete(p, recursive=True)
         ids = sorted(b for b in ms if upto_batch is None or b <= upto_batch)
         if len(ids) < 2:
             return {"compacted": 0}

@@ -508,12 +508,15 @@ def test_jdbc_write_warehouse_row_shape(spark, tmp_path):
     assert _json.loads(back[0].data)["text"] == "hello world"
 
 
-def test_jdbc_real_roundtrip_derby(spark, tmp_path):
+def test_jdbc_derby_ranged_scan_and_append(spark, tmp_path):
     """S4+S5 through a REAL JDBC driver end-to-end: Spark ships embedded
     Apache Derby (pyspark/jars/derby-*.jar), so the warehouse write →
     partitioned parallel read path runs against an actual SQL database, not
     a parquet stand-in — executor-side INSERTs, dialect type mapping, and
     the partitionColumn WHERE-range scan are all exercised for real.
+    (Previously shadowed by a same-named later test — this one additionally
+    asserts the reference's APPEND write semantics and the 40-row ranged
+    scan; its sibling asserts predicate pushdown.)
     ``array_format='json'`` because Derby (like H2) has no ARRAY column
     type; ClickHouse/MyScale deployments keep the native array<bigint> path
     (test above). Reference: MyScaleDBStorage paged read/write,

@@ -747,3 +747,75 @@ def test_sink_time_travel_and_compaction(spark, tmp_path):
     sink.compact(spark)
     assert sink.read_committed(spark).count() == n_full
     assert sink.committed_batches(spark) == [batches[0]]
+
+
+def test_compact_rerun_after_full_crash_window(spark, tmp_path, monkeypatch):
+    """Re-running compact() after a crash BETWEEN the manifest swap and the
+    covered-manifest/data deletes (steps 2→3): the first run's generation
+    directory must NOT be read-and-overwritten — step 0 replays the
+    interrupted cleanup and the re-run no-ops. Simulated by making every
+    fs.delete a no-op during the first compact (covered manifests AND old
+    data directories all survive, the exact full-crash window)."""
+    from dataflow_mm_spark.streaming import sink as sink_mod
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    df = transcripts(spark, n_convs=24, seed=7)
+    df.repartition(4).write.mode("overwrite").parquet(inp)
+    q, sink = jobs.turns_pipeline(
+        spark, inp, out, ckpt, dedup=False, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    batches = sink.committed_batches(spark)
+    assert len(batches) >= 3
+    n_full = sink.read_committed(spark).count()
+
+    real_delete = sink_mod._HadoopFS.delete
+    monkeypatch.setattr(sink_mod._HadoopFS, "delete", lambda *a, **k: None)
+    man = sink.compact(spark)
+    monkeypatch.setattr(sink_mod._HadoopFS, "delete", real_delete)
+    assert man["covers"] == batches
+    # crash window state: generation manifest + ALL covered manifests + old dirs
+    assert sink.committed_batches(spark) == batches
+    assert os.path.exists(f"{out}/batch_id={batches[-1]}")
+    # reads stay exactly-once through the window (covers skip)
+    assert sink.read_committed(spark).count() == n_full
+
+    # the re-run completes the cleanup without touching the generation data
+    man2 = sink.compact(spark)
+    assert man2 == {"compacted": 0}
+    assert sink.committed_batches(spark) == [batches[0]]
+    assert not os.path.exists(f"{out}/batch_id={batches[-1]}")
+    assert sink.read_committed(spark).count() == n_full
+
+
+def test_cep_bucketed_tolerates_null_text(spark, tmp_path):
+    """A NULL text (nullable column in real corpora) must not kill the
+    bucketed CEP query: rlike(NULL) is NULL and an un-coalesced NULL packed
+    meta arrives in pandas as float64 NaN, crashing the vectorized unpack.
+    NULL text behaves as has_call=false (same as the unpacked variants)."""
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    base = dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "hello", None, base),
+        ("c1", 1, "assistant", None, None, base + dt.timedelta(seconds=5)),
+        ("c1", 2, "assistant", "dup role follows", None,
+         base + dt.timedelta(seconds=10)),
+        ("c1", 3, "assistant", "<tool_call>x</tool_call>", "x",
+         base + dt.timedelta(seconds=15)),
+        ("c1", 4, "tool", "<tool_result>ok</tool_result>", "x",
+         base + dt.timedelta(seconds=20)),
+        ("conv-sentinel", 0, "user", "push watermark", None, SENTINEL_TS),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(inp)
+    q, sink = jobs.cep_pipeline(spark, inp, out, ckpt, buckets=8)
+    q.awaitTermination(300)
+    got = sink.read_committed(spark).filter(F.col("conv_id") == "c1")
+    kinds = {(r.kind, r.turn_idx) for r in got.collect()}
+    # the role violation AFTER the null-text turn is still detected, and the
+    # tool call pairs — the null-text row flowed through as has_call=false
+    assert ("role_violation", 2) in kinds
+    assert ("tool_paired", 4) in kinds or ("tool_paired", 3) in kinds
