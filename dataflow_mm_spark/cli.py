@@ -18,6 +18,9 @@ compaction; only --output is required).
 running with a processing-time trigger; default drains available input and
 exits (availableNow). Re-running with the same --checkpoint resumes from the
 recorded offsets with the exactly-once sink guaranteeing no duplicates.
+``--est-state-keys`` (with --executors / --executor-heap-gb) selects the
+state-store provider from the measured HDFS/RocksDB crossover
+(session.state_store_conf; BENCH.md §5) instead of the default.
 """
 
 from __future__ import annotations
@@ -54,15 +57,30 @@ def main() -> None:
                         "RocksDB; needs the protobuf package)")
     p.add_argument("--target-partitions", type=int, default=None,
                    help="compact: repartition the generation to N files")
+    p.add_argument("--est-state-keys", type=int, default=None,
+                   help="estimated distinct state keys for this job; picks "
+                        "the state-store provider from the measured "
+                        "HDFS/RocksDB crossover (session.state_store_conf)")
+    p.add_argument("--executors", type=int, default=1,
+                   help="executor count for the state-per-executor estimate")
+    p.add_argument("--executor-heap-gb", type=int, default=8,
+                   help="executor heap for the state-fit estimate")
     args = p.parse_args()
     if args.job != "compact" and not (args.input and args.checkpoint):
         p.error(f"--input and --checkpoint are required for --job {args.job}")
 
-    from dataflow_mm_spark.session import get_spark
+    from dataflow_mm_spark.session import get_spark, state_store_conf
     from dataflow_mm_spark.streaming import jobs
     from dataflow_mm_spark.streaming.sink import MetricsListener
 
-    spark = get_spark(f"dfmm-{args.job}")
+    extra = None
+    if args.est_state_keys is not None:
+        extra = state_store_conf(
+            args.est_state_keys,
+            executors=args.executors,
+            heap_bytes=args.executor_heap_gb << 30,
+        )
+    spark = get_spark(f"dfmm-{args.job}", extra_conf=extra)
     if args.metrics:
         spark.streams.addListener(MetricsListener(args.metrics).make())
 
