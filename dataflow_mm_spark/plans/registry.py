@@ -3020,6 +3020,14 @@ def transcripts_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: neardup_pipeline(
                 spark, inp, out, ck,
                 min_frac=1.0, max_entries=1_000_000,
+                # TTL far past the data horizon: dedup-state timeouts are
+                # pure memory eviction (no semantic close event, unlike
+                # CEP/merge), and the closed-form oracle assumes no eviction.
+                # Letting the watermark-advance batch time out ~11k groups
+                # costs ~10 ms of GroupState round-trip EACH (measured: the
+                # empty batch drops 6.8 s -> 2.7 s at sf0.1) for decisions
+                # that cannot change in a bounded availableNow drain.
+                ttl_minutes=10_000_000,
             )
         )
         return (

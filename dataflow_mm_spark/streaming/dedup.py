@@ -82,13 +82,23 @@ def neardup_candidates_stream(
         "ts",
     ).select(
         "row_key",
-        minhash_of_shingles(F.col("_sh"), num_hashes).alias("sig"),
+        minhash_of_shingles(F.col("_sh"), num_hashes).alias("_sig_hex"),
         "ts",
     ).select(
+        # band keys derive from the full hex digests; the signature that
+        # crosses the shuffle (x bands per row) and lives in state is the
+        # 60-bit bigint prefix of each digest: prefix is monotonic under the
+        # fixed-length lex order minhash minimizes, so prefix(min) ==
+        # min(prefix) and agreement decisions are unchanged up to a 2^-60
+        # tail collision — 128 B/row through the Exchange instead of ~600 B
+        # of hex (CLAUDE.md: keep wide columns out of Arrow exchanges).
         "row_key",
-        "sig",
+        F.transform(
+            F.col("_sig_hex"),
+            lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+        ).alias("sig"),
         "ts",
-        F.explode(minhash_band_keys(F.col("sig"), bands, rows)).alias("bk"),
+        F.explode(minhash_band_keys(F.col("_sig_hex"), bands, rows)).alias("bk"),
     ).select(
         "row_key",
         "sig",
@@ -117,7 +127,7 @@ def neardup_candidates_stream(
             key=lambda r: (r.ts, r.row_key),
         )
         for r in rows:
-            s = list(r.sig)
+            s = [int(x) for x in r.sig]  # np.int64 -> int (json-able state)
             if emit_arrivals and int(r.band) == 0:
                 out.append((r.row_key, None, 0, 0.0))
             is_dup = False
