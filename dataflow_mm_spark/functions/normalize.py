@@ -90,9 +90,11 @@ def whisper_en_normalize(text: Column) -> Column:
 # ("three point one four" → 3.14), year pairing ("nineteen eighty four" →
 # 1984, "nineteen oh five" → 1905, "nineteen hundred and five" → 1905; r4),
 # article-as-one ("a hundred and five" → 105, opening position only; r4),
-# and the currency/half post-passes below. Documented out of scope (rare in
-# transcripts, ambiguous without context): "double/triple oh" digit runs and
-# sub-dollar "$0.xx" extraction. Input is expected post-whisper_en_normalize
+# and the currency/half post-passes below. r4 also covers double/triple
+# spell-out digit runs ("double oh seven" → 007, see _try_digit_run).
+# Documented out of scope (rare in transcripts, ambiguous without context):
+# joining BARE digit sequences ("one two" stays two numbers) and sub-dollar
+# "$0.xx" extraction. Input is expected post-whisper_en_normalize
 # (lowercase,
 # punctuation stripped); a maximal run of number words converts per run.
 # ---------------------------------------------------------------------------
@@ -137,6 +139,41 @@ _NUMBER_WORDS = (
 _AND_CONTINUERS = (
     set(_NUM_UNITS) | set(_NUM_TENS) | set(_ORD_UNITS) | set(_ORD_TENS)
 )
+# digit words that may appear inside a double/triple spell-out run
+# ("double oh seven" → 007). "oh" reads 0 only here and in year pairing.
+_DIGIT_WORDS = {w: v for w, v in _NUM_UNITS.items() if v <= 9}
+_DIGIT_WORDS["oh"] = 0
+_REPEATERS = {"double": 2, "triple": 3}
+
+
+def _try_digit_run(toks: list[str], i: int):
+    """Spell-out digit run OPENED by double/triple (Whisper
+    EnglishNumberNormalizer's repeater semantics, scoped): ``double``/
+    ``triple`` repeats the next digit word 2/3x, and adjacent digit words
+    or further repeater pairs join the same concatenation — "double oh
+    seven" → 007, "double two double five" → 2255. Leading zeros are kept
+    (the run is an identifier, not a quantity). A bare digit sequence
+    without a repeater is NOT joined (kept out of scope: "one two" stays
+    two numbers). Returns (digits | None, next_index)."""
+    if toks[i] not in _REPEATERS:
+        return None, i
+    digits, j, opened = "", i, False
+    while j < len(toks):
+        w = toks[j]
+        if w in _REPEATERS:
+            if j + 1 < len(toks) and toks[j + 1] in _DIGIT_WORDS:
+                digits += str(_DIGIT_WORDS[toks[j + 1]]) * _REPEATERS[w]
+                j, opened = j + 2, True
+                continue
+            break
+        if opened and w in _DIGIT_WORDS and w != "zero":
+            # plain digits extend an open run; "zero" keeps its own
+            # cardinal reading ("double two zero" → "22 0")
+            digits += str(_DIGIT_WORDS[w])
+            j += 1
+            continue
+        break
+    return (digits, j) if opened else (None, i)
 
 
 def _ordinal_suffix(n: int) -> str:
@@ -360,6 +397,12 @@ def number_words_to_digits_py(s: str | None) -> str | None:
     out: list[str] = []
     i = 0
     while i < len(toks):
+        if toks[i] in _REPEATERS:
+            digits, j = _try_digit_run(toks, i)
+            if digits is not None:
+                out.append(digits)
+                i = j
+                continue
         if toks[i] in _NUMBER_WORDS or (
             toks[i] == "a"
             and i + 1 < len(toks)

@@ -311,11 +311,47 @@ def _currency_tokens(toks: list[str]) -> list[str]:
     return out
 
 
+_O_SMALL_DIGITS = {
+    "oh": 0, "zero": 0, "one": 1, "two": 2, "three": 3, "four": 4,
+    "five": 5, "six": 6, "seven": 7, "eight": 8, "nine": 9,
+}
+
+
+def _repeat_run(w: list[str], i: int):
+    """double/triple spell-out run, two-stage (mark then render — the
+    kernel integrates this into its single token pass): stage 1 converts
+    the token window into (count, digit) marks — a repeater binds the next
+    digit word, a plain digit word after the first mark is (1, digit),
+    plain 'zero' excluded (it keeps its cardinal/decimal reading); stage 2
+    renders marks to a concatenated digit string. None unless w[i] is a
+    repeater with a digit word behind it."""
+    reps = {"double": 2, "triple": 3}
+    marks: list[tuple[int, int]] = []
+    j = i
+    while j < len(w):
+        if w[j] in reps and j + 1 < len(w) and w[j + 1] in _O_SMALL_DIGITS:
+            marks.append((reps[w[j]], _O_SMALL_DIGITS[w[j + 1]]))
+            j += 2
+        elif marks and w[j] in _O_SMALL_DIGITS and w[j] not in ("zero",):
+            marks.append((1, _O_SMALL_DIGITS[w[j]]))
+            j += 1
+        else:
+            break
+    if not marks:
+        return None
+    return "".join(str(d) * c for c, d in marks), j
+
+
 def en_number_words(phrase: str) -> str:
     """Phrase with spelled-out numbers → phrase with digits."""
     w = phrase.split()
     out, i = [], 0
     while i < len(w):
+        rr = _repeat_run(w, i)
+        if rr is not None:
+            out.append(rr[0])
+            i = rr[1]
+            continue
         opener = (
             w[i] in _SMALL
             or w[i] in _TENS

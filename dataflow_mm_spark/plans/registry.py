@@ -1070,7 +1070,7 @@ DOCS_WHISPER_SQL = _whisper_sql()
 
 
 # English number-word engine fixtures (Whisper EnglishNumberNormalizer
-# analogue, functions/normalize.py number_words_to_digits): 60 phrase shapes
+# analogue, functions/normalize.py number_words_to_digits): 68 phrase shapes
 # covering hundreds/thousands/millions groups, "and"-linking and its
 # ambiguity cases ("five and six" vs "two thousand and one"), ordinals incl.
 # composed ("one hundred and first"), decimal point runs, zero isolation,
@@ -1108,8 +1108,7 @@ _NUMWORD_PHRASES = [
     "one billion two hundred million",
     "nineteen eighty four",
     "one million and one",
-    # year pairing + article-as-one (r4: closes the last documented
-    # Whisper-EN exclusions besides double/triple-oh)
+    # year pairing + article-as-one (r4)
     "nineteen oh five",
     "nineteen hundred",
     "nineteen hundred and five",
@@ -1131,6 +1130,16 @@ _NUMWORD_PHRASES = [
     "cents on the dollar",
     "three and a half hours",
     "two dollars and a half",
+    # double/triple spell-out digit runs (r4: closes the last documented
+    # Whisper-EN exclusion; normalize._try_digit_run / oracle._repeat_run)
+    "agent double oh seven reporting",
+    "triple seven",
+    "double two double five",
+    "call double four seven eight",
+    "double two zero",
+    "double trouble",
+    "triple oh one extension",
+    "double two nineteen eighty four",
 ]
 from dataflow_mm_spark.oracles.reading_oracle import (  # noqa: E402
     en_number_words as _oracle_en_words,

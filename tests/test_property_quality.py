@@ -221,6 +221,7 @@ def test_en_number_words_vs_reading_oracle_fuzz():
         "apples", "the", "score",
         "dollars", "dollar", "cents", "cent", "pounds", "pence", "a", "half",
         "oh", "eighty",  # r4: year-pairing vocabulary
+        "double", "triple",  # r4: spell-out digit runs
     ]
     rng = random.Random(13)
     for _ in range(20000):
