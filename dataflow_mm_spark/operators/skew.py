@@ -33,6 +33,35 @@ def with_salt(df: DataFrame, key: str = "conv_id", buckets: int = 16,
     return df.withColumn(salt_col, F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int"))
 
 
+def heavy_hitter_keys(
+    df: DataFrame,
+    key: str = "conv_id",
+    min_frac: float = 0.001,
+    max_keys: int = 10_000,
+) -> DataFrame:
+    """Exact heavy-hitter detection — keys carrying ≥ ``min_frac`` of rows
+    → (key, n, frac), heaviest first, capped at ``max_keys``.
+
+    Safe to run on the very data whose skew it measures: a count
+    aggregation is NOT skew-vulnerable (map-side partial aggregation
+    collapses a hot key to ONE row per input partition before the shuffle,
+    so the hot key ships ~n_partitions rows, not its payload). Two passes
+    by design: the total-row count re-aggregates the (distinct-key-sized)
+    counts relation, never re-scans ``df`` — and Catalyst prunes the scan
+    to the key column. Output is broadcast-sized by construction
+    (``max_keys`` rows) — feed it straight to ``salted_agg_selective``."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n")).first()[0] or 0
+    if total == 0:
+        return counts.withColumn("frac", F.col("n").cast("double")).limit(0)
+    return (
+        counts.filter(F.col("n") >= float(min_frac) * total)
+        .withColumn("frac", F.col("n") / F.lit(float(total)))
+        .orderBy(F.desc("n"), key)
+        .limit(max_keys)
+    )
+
+
 def salted_agg(
     df: DataFrame,
     key: str = "conv_id",
@@ -45,7 +74,43 @@ def salted_agg(
     the partials on key alone (tiny input: buckets rows per key)."""
     aggs = aggs or {"n_turns": "count"}
     salted = with_salt(df, key, buckets)
+    return _two_phase(salted, key, aggs)
 
+
+def salted_agg_selective(
+    df: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+    buckets: int = 16,
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """``salted_agg`` that salts ONLY the keys in ``hot_keys`` (broadcast;
+    the output of ``heavy_hitter_keys``). The 100 TB form: blanket salting
+    multiplies phase-1 output by ``buckets`` for EVERY key — with billions
+    of cold keys that is the dominant shuffle — while selective salting
+    pays the blowup only on the handful of keys that need it (cold keys
+    keep salt 0 and merge 1:1 in phase 2)."""
+    aggs = aggs or {"n_turns": "count"}
+    hot = F.broadcast(
+        hot_keys.select(F.col(key)).withColumn("_hot", F.lit(True))
+    )
+    salted = (
+        with_salt(df, key, buckets)
+        .join(hot, on=key, how="left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_hot").isNotNull(), F.col("_salt")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .drop("_hot")
+    )
+    return _two_phase(salted, key, aggs)
+
+
+def _two_phase(
+    salted: DataFrame, key: str, aggs: dict[str, str]
+) -> DataFrame:
     partial_exprs, final_exprs = [], []
     for name, spec in aggs.items():
         if spec == "count":

@@ -2457,6 +2457,53 @@ FROM documents
 """
 
 
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew detect→mitigate loop under the gate: ``heavy_hitter_keys``
+    (exact, shuffle-safe — map-side combine collapses hot keys before the
+    exchange) finds users ≥1.5 events above the mean share, then
+    ``salted_agg_selective`` re-aggregates the SAME table salting only
+    those keys (broadcast hot-list, cold keys salt 0), and the gate checks
+    the salted two-phase counts equal the detector's plain counts row-for-
+    row. Threshold is mean+1.5 so the float comparison sits ≥0.16 from any
+    integer on the deterministic test tables (the oracle applies the
+    equivalent integer-exact condition 2·n·u ≥ 2·s + 3·u)."""
+    from dataflow_mm_spark.operators.skew import (
+        heavy_hitter_keys,
+        salted_agg_selective,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    total, users = ev.agg(
+        F.count(F.lit(1)), F.count_distinct("user_id")
+    ).first()
+    min_frac = (total / users + 1.5) / total
+    hh = heavy_hitter_keys(ev, "user_id", min_frac=min_frac).cache()
+    agg = salted_agg_selective(
+        ev,
+        "user_id",
+        hh,
+        buckets=8,
+        aggs={"n_events": "count", "max_event": "max:event_id"},
+    )
+    return (
+        hh.select("user_id", "n")
+        .join(agg, "user_id")
+        .select("user_id", "n", "n_events", "max_event")
+    )
+
+
+EVENTS_HEAVY_HITTERS_SQL = """
+WITH c AS (
+  SELECT user_id, count(*) AS n, max(event_id) AS max_event
+  FROM events GROUP BY user_id
+),
+t AS (SELECT sum(n) AS s, count(*) AS u FROM c)
+SELECT c.user_id, c.n, c.n AS n_events, c.max_event
+FROM c, t
+WHERE 2 * c.n * t.u >= 2 * t.s + 3 * t.u
+"""
+
+
 def transcripts_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 streaming semantics under the DuckDB value-hash gate: the REAL
     flagship ``turns_pipeline`` (readStream → watermark → stateful
@@ -3152,6 +3199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_clip_eval": events_clip_eval,
     "events_timecodes": events_timecodes,
     "docs_image_dims": docs_image_dims,
+    "events_heavy_hitters": events_heavy_hitters,
     "transcripts_stream_pipeline": transcripts_stream_pipeline,
     "transcripts_stream_neardup": transcripts_stream_neardup,
     "events_stream_merge": events_stream_merge,
@@ -3220,6 +3268,7 @@ ORACLES: dict[str, str] = {
     "events_clip_eval": EVENTS_CLIP_EVAL_SQL,
     "events_timecodes": EVENTS_TIMECODES_SQL,
     "docs_image_dims": DOCS_IMAGE_DIMS_SQL,
+    "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
     "transcripts_stream_pipeline": TRANSCRIPTS_STREAM_SQL,
     "transcripts_stream_windows": TRANSCRIPTS_STREAM_WIN_SQL,
     "transcripts_stream_cep": TRANSCRIPTS_STREAM_CEP_SQL,
