@@ -121,29 +121,50 @@ def neardup_candidates_stream(
         seen_keys = {e[0] for e in entries}
         out = []
         last_ms = state.get[1] if state.exists else 0
-        # event-time order within the batch → "first seen" is deterministic
-        rows = sorted(
-            (r for pdf in pdf_iter for r in pdf.itertuples()),
-            key=lambda r: (r.ts, r.row_key),
-        )
-        for r in rows:
-            s = [int(x) for x in r.sig]  # np.int64 -> int (json-able state)
-            if emit_arrivals and int(r.band) == 0:
-                out.append((r.row_key, None, 0, 0.0))
+        # vectorized row extraction: per-row pd.Timestamp/itertuples cost
+        # ~2 ms/row at scale; the ns int preserves the exact event-time
+        # order. "first seen" stays deterministic via the (ts, row_key) sort
+        rows: list[tuple] = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            ns = pdf["ts"].to_numpy("datetime64[ns]").astype("int64")
+            rows.extend(
+                zip(
+                    ns.tolist(),
+                    pdf["row_key"].tolist(),
+                    pdf["sig"].tolist(),
+                    pdf["band"].tolist(),
+                )
+            )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        exact = min_frac >= 1.0
+        for ns_i, row_key, sig, band in rows:
+            s = [int(x) for x in sig]  # np.int64 -> int (json-able state)
+            if emit_arrivals and int(band) == 0:
+                out.append((row_key, None, 0, 0.0))
             is_dup = False
             for k_seen, s_seen in entries:
-                agree = sum(a == b for a, b in zip(s, s_seen)) / len(s)
-                if agree >= min_frac and k_seen != r.row_key:
-                    out.append((r.row_key, k_seen, int(r.band), round(agree, 4)))
+                if exact:
+                    if s != s_seen:
+                        continue
+                    agree = 1.0
+                else:
+                    agree = sum(a == b for a, b in zip(s, s_seen)) / len(s)
+                    if agree < min_frac:
+                        continue
+                if k_seen != row_key:
+                    out.append((row_key, k_seen, int(band), round(agree, 4)))
                     is_dup = True
             # keep-first memory: only rows KEPT (not flagged) join the
             # comparison window — the reference's last-10k window holds kept
             # texts (image_diversity_filter.py:14-34); remembering flagged
             # rows would transitively drop C for A~B, B~C even when A!~C
-            if not is_dup and r.row_key not in seen_keys:
-                entries.append([r.row_key, s])
-                seen_keys.add(r.row_key)
-            last_ms = max(last_ms, int(pd.Timestamp(r.ts).value // 1_000_000))
+            if not is_dup and row_key not in seen_keys:
+                entries.append([row_key, s])
+                seen_keys.add(row_key)
+            if ns_i // 1_000_000 > last_ms:
+                last_ms = ns_i // 1_000_000
         if len(entries) > max_entries:
             entries = entries[-max_entries:]
         state.update((json.dumps(entries), last_ms))

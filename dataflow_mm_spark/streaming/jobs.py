@@ -293,6 +293,7 @@ def neardup_pipeline(
     watermark: str = "10 minutes",
     available_now: bool = True,
     resolve: bool = True,
+    max_files_per_trigger: int | None = None,
     **neardup_kw,
 ):
     """Streaming MinHash near-duplicate detection → exactly-once sink.
@@ -309,7 +310,9 @@ def neardup_pipeline(
         neardup_dedup_stream,
     )
 
-    turns = read_transcript_stream(spark, input_path, None, watermark)
+    turns = read_transcript_stream(
+        spark, input_path, max_files_per_trigger, watermark
+    )
     sink = ExactlyOnceParquetSink(out_dir)
     if resolve:
         stream = neardup_dedup_stream(turns, **neardup_kw)

@@ -74,6 +74,11 @@ def main() -> None:
         "cep": lambda: jobs.cep_pipeline(
             spark, inp, out, ck, max_files_per_trigger=mft,
             bucketed=args.get("cep", "bucketed") == "bucketed"),
+        "neardup": lambda: jobs.neardup_pipeline(
+            spark, inp, out, ck, max_files_per_trigger=mft,
+            # throughput probe: continuous-job configuration (bounded kept
+            # ring, TTL active) — NOT the gate's unbounded single-drain form
+            max_entries=4096),
     }
     t0 = time.time()
     q, _ = fns[job]()
