@@ -17,8 +17,18 @@ a 二 produced between latin letters restores to ``2``), plus 2-digit years
 (``[089]\\d年`` reads digit-by-digit per the cn_tn date pattern — 99年 is the
 year 99, not a duration; ``1x``-``7x`` two-digit counts before 年 stay
 durations → cardinals).
-Documented exclusion: dash-less landline numbers (ambiguous with digit-IDs,
-which already read digit-by-digit — only the 幺 convention differs).
+r5 adds the 两-substitution (cn_tn num2chn ``alt_two=True`` — the Cardinal
+DEFAULT, so it reaches every cardinal reading): a leading-position 2 before
+a >十 unit reads 两 (两千/两万; 十二万 and 一万零二百 keep 二), verified
+case-by-case against the reference's staged passes; and the full public
+儿-whitelist (cn_tn.py:33-36).
+Documented exclusions: dash-less landline numbers (ambiguous with digit-IDs,
+which already read digit-by-digit — only the 幺 convention differs);
+big-digit output forms 壹贰佰仟 (``num2chn(big=True)`` is never invoked by
+any reference NSW class — unreachable in the pipeline); the currency-NAME
+list (cn_tn.py:42 ``CURRENCY_NAMES`` is defined but referenced nowhere in
+the reference — dead code, nothing to match); 1e12 reads 万亿 (modern
+convention) where the reference's mid numbering system says 兆.
 
 Reading rules implemented:
 * digits 0-9 → 零一二三四五六七八九; positions 十百千, groups 万/亿/万亿
@@ -50,6 +60,10 @@ from pyspark.sql.functions import pandas_udf
 
 _DIGITS = "零一二三四五六七八九"
 _UNITS = ["", "十", "百", "千"]
+
+# alt_two: preceded by start-of-reading or a >十 unit, followed by a >十
+# unit (lookbehind "not a non-unit char" == start or unit)
+_LIANG_RE = re.compile(r"(?<![^百千万亿])二(?=[百千万亿])")
 
 
 def _read_under_10000(n: int) -> str:
@@ -113,7 +127,14 @@ def read_int(n: int) -> str:
     # leading 一十 reads 十 (only at the very start)
     if s.startswith("一十"):
         s = s[1:]
-    return s
+    # 两-substitution (cn_tn num2chn alt_two=True — the reference Cardinal
+    # DEFAULT, so every cardinal path reads 两千/两万): a 二 directly before
+    # a >十 unit, at reading start or directly after another >十 unit,
+    # reads 两. Zero- and 十-preceded 二 keep 二 (一万零二百, 十二万), as do
+    # digit-by-digit readings (no units → no match). Source-text magnitude
+    # units (2万元 money) are outside the rendered string, so 二万元 keeps
+    # 二 — matching the reference's Money path.
+    return _LIANG_RE.sub("两", s)
 
 
 _UNIT_READINGS = {
@@ -262,6 +283,11 @@ ER_WHITELIST = (
     "儿女", "儿子", "儿孙", "女儿", "儿媳", "妻儿", "胎儿", "婴儿",
     "新生儿", "婴幼儿", "幼儿", "少儿", "小儿", "儿歌", "儿童", "儿科",
     "托儿所", "孤儿", "儿戏", "儿化",
+    # r5: the remaining true-morpheme 儿 words/idioms and place names of
+    # the public whitelist (cn_tn.py:33-36, itself from Qwen2-Audio)
+    "台儿庄", "鹿儿岛", "正儿八经", "吊儿郎当", "生儿育女", "托儿带女",
+    "养儿防老", "痴儿呆女", "佳儿佳妇", "儿怜兽扰", "儿无常父",
+    "儿不嫌母丑", "儿行千里母担忧", "儿大不由爷", "苏乞儿",
 )
 
 _CN_PUNCS = "，。！？；：、“”‘’【】《》（）,.!?;:\"'[]<>()"

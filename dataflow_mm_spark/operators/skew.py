@@ -45,12 +45,16 @@ def heavy_hitter_keys(
     Safe to run on the very data whose skew it measures: a count
     aggregation is NOT skew-vulnerable (map-side partial aggregation
     collapses a hot key to ONE row per input partition before the shuffle,
-    so the hot key ships ~n_partitions rows, not its payload). Two passes
-    by design: the total-row count re-aggregates the (distinct-key-sized)
-    counts relation, never re-scans ``df`` — and Catalyst prunes the scan
-    to the key column. Output is broadcast-sized by construction
-    (``max_keys`` rows) — feed it straight to ``salted_agg_selective``."""
-    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    so the hot key ships ~n_partitions rows, not its payload). The
+    distinct-key-sized counts relation is ``.cache()``d (MEMORY_AND_DISK)
+    because it has two consumers — the eager ``total`` action here and the
+    returned (filtered) DataFrame — and filter-pushdown would otherwise
+    re-inline the groupBy into both, scanning ``df`` twice (CLAUDE.md
+    cache-multi-consumer rule; r4 ADVICE). Callers in long-lived sessions
+    may ``spark.catalog.clearCache()`` once the hot-key set is consumed.
+    Output is broadcast-sized by construction (``max_keys`` rows) — feed
+    it straight to ``salted_agg_selective``."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n")).cache()
     total = counts.agg(F.sum("n")).first()[0] or 0
     if total == 0:
         return counts.withColumn("frac", F.col("n").cast("double")).limit(0)

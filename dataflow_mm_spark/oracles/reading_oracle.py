@@ -395,15 +395,34 @@ def _rx(n: int) -> str:
     return _DIG[n]
 
 
+def _liang(s: str) -> str:
+    """alt_two twin (independent formulation: explicit char-walk, vs the
+    kernel's lookaround regex): a 二 whose next char is a >十 unit and
+    whose previous char is absent or itself a >十 unit reads 两
+    (两千/两万; 十二万 and 一万零二百 keep 二)."""
+    big = "百千万亿"
+    out = list(s)
+    for i, c in enumerate(s):
+        if (
+            c == "二"
+            and i + 1 < len(s)
+            and s[i + 1] in big
+            and (i == 0 or s[i - 1] in big)
+        ):
+            out[i] = "两"
+    return "".join(out)
+
+
 def cn_int(n: int) -> str:
-    """Cardinal reading of 0 <= n (leading 一十 reads 十); ≥10^16 falls back
+    """Cardinal reading of 0 <= n (leading 一十 reads 十; alt_two 两
+    substitution — the cn_tn Cardinal default); ≥10^16 falls back
     to digit-by-digit — IDs/hashes are not cardinals (public cn_tn rule)."""
     if n >= 10**16:
         return cn_digits(str(n))
     if n == 0:
         return "零"
     s = _rx(n)
-    return s[1:] if s.startswith("一十") else s
+    return _liang(s[1:] if s.startswith("一十") else s)
 
 
 def cn_digits(s: str) -> str:
@@ -510,6 +529,9 @@ _ORACLE_ER_WHITELIST = (
     "儿女", "儿子", "儿孙", "女儿", "儿媳", "妻儿", "胎儿", "婴儿",
     "新生儿", "婴幼儿", "幼儿", "少儿", "小儿", "儿歌", "儿童", "儿科",
     "托儿所", "孤儿", "儿戏", "儿化",
+    "台儿庄", "鹿儿岛", "正儿八经", "吊儿郎当", "生儿育女", "托儿带女",
+    "养儿防老", "痴儿呆女", "佳儿佳妇", "儿怜兽扰", "儿无常父",
+    "儿不嫌母丑", "儿行千里母担忧", "儿大不由爷", "苏乞儿",
 )
 
 

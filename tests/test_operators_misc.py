@@ -676,6 +676,47 @@ def test_cn_number_normalization(spark):
     assert got == [want, None]
 
 
+def test_cn_tokenizer_boundary_hand_pins():
+    """r4 ADVICE: kernel `_NUM_RE` and the reading-oracle tokenizer are the
+    same regex verbatim, so a shared TOKENIZATION bug would pass the gate
+    and the fuzz undetected. These end-to-end expectations are HAND-PINNED
+    literals — written from the documented reading rules, with each token-
+    BOUNDARY choice cross-checked against the reference's staged passes
+    (cn_tn.py TextNorm: year width, ID-run split, money-approx attachment;
+    rendering style 二-vs-两 and 负-reading are this module's documented
+    clean-room choices) — and asserted against BOTH the kernel and the
+    independent oracle, so a tokenizer regression now fails here even if
+    both sides share it."""
+    from dataflow_mm_spark.functions.cn_norm import cn_normalize_numbers_py
+    from dataflow_mm_spark.oracles.reading_oracle import cn_text
+
+    pins = {
+        # sign does NOT fold into a year token (the year alternative has no
+        # sign branch; the dash survives as plain text)
+        "-2024年": "-二零二四年",
+        # 5 digits before 年 is NOT a year -> cardinal + 年
+        "12345年": "一万两千三百四十五年",
+        # 3 digits before 年 is NOT a year -> cardinal + 年
+        "105年": "一百零五年",
+        # year token consumes exactly 4 digits; the following bare 4-digit
+        # run has no quantifier context -> digit-by-digit ID
+        "2024年2024": "二零二四年二零二四",
+        # approx char + small money unit attach to the SAME token
+        "9999几分": "九千九百九十九几分",
+        # sign folds into a quantifier cardinal (negative count)
+        "共-42条": "共负四十二条",
+        # percent alternative keeps the sign lookahead on both occurrences
+        "3.5%和-3.5%": "百分之三点五和负百分之三点五",
+        # decimal before a money unit stays one token
+        "0.5元": "零点五元",
+        # dashed landline wins over signed-integer split at the dash
+        "电话021-87654321哈": "电话零二幺八七六五四三二幺哈",
+    }
+    for src, expect in pins.items():
+        assert cn_normalize_numbers_py(src) == expect, f"kernel: {src}"
+        assert cn_text(src) == expect, f"oracle: {src}"
+
+
 def test_rank_normalize_approx_path(spark):
     """Scale path: quantile-ECDF normalization (no global sort) must agree
     with the exact rank within the quantile resolution."""

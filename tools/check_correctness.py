@@ -65,6 +65,15 @@ def main() -> int:
         )
 
     qs, os_ = E.queries(), E.oracle_sql()
+    # suite MEMBER queries stay individually checkable by explicit name
+    # (debugging a suite mismatch) without counting toward the driver's
+    # 50-entry registry window
+    if only:
+        from dataflow_mm_spark.plans import registry as R
+        for m in only - set(qs):
+            if m in R.MEMBER_QUERIES:
+                qs[m] = R.MEMBER_QUERIES[m]
+                os_[m] = R.MEMBER_ORACLES[m]
     failures = []
     detail: dict[str, dict] = {}
 
