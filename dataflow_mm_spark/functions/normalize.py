@@ -93,8 +93,9 @@ def whisper_en_normalize(text: Column) -> Column:
 # and the currency/half post-passes below. r4 also covers double/triple
 # spell-out digit runs ("double oh seven" → 007, see _try_digit_run).
 # Documented out of scope (rare in transcripts, ambiguous without context):
-# joining BARE digit sequences ("one two" stays two numbers) and sub-dollar
-# "$0.xx" extraction. Input is expected post-whisper_en_normalize
+# joining BARE digit sequences ("one two" stays two numbers). Sub-dollar
+# "$0.xx" → ¢xx extraction implemented r5 (see _currency_post).
+# Input is expected post-whisper_en_normalize
 # (lowercase,
 # punctuation stripped); a maximal run of number words converts per run.
 # ---------------------------------------------------------------------------
@@ -365,8 +366,11 @@ def _try_number(toks: list[str], i: int):
 # * "N and a half" → N.5 (integers only — "3.2 and a half" passes through);
 # * a rendered number followed by a currency word takes its symbol prefix
 #   ("three dollars" → "$3"); "$A and ¢B" merges to "$A.BB" (cents
-#   zero-padded). Sub-dollar $0.xx extraction stays out of scope
-#   (documented).
+#   zero-padded); sub-dollar "$0.xx" extracts to "¢xx" (r5 — closes the
+#   last documented currency exclusion; int() strips leading cent zeros,
+#   "$0.05" → ¢5, faithful to the public extract_cents pass — we escape
+#   its literal-dot quirk since our $0 forms only arise from our own
+#   merge output).
 _CURRENCY_RE = None
 
 
@@ -380,12 +384,14 @@ def _currency_post(s: str) -> str:
             re.compile(r"(?<![\w.$£¢])(\d+(?:\.\d+)?) (dollars?|pounds?)(?!\w)"),
             re.compile(r"(?<![\w.$£¢])(\d+(?:\.\d+)?) (cents?|pence)(?!\w)"),
             re.compile(r"([$£])(\d+) and [¢p](\d{1,2})(?!\d)"),
+            re.compile(r"([€£$])0\.(\d{1,2})\b"),
         )
-    half, big, small, merge = _CURRENCY_RE
+    half, big, small, merge, subdollar = _CURRENCY_RE
     s = half.sub(lambda m: m.group(1) + ".5", s)
     s = big.sub(lambda m: ("$" if m.group(2)[0] == "d" else "£") + m.group(1), s)
     s = small.sub(lambda m: ("¢" if m.group(2)[0] == "c" else "p") + m.group(1), s)
     s = merge.sub(lambda m: f"{m.group(1)}{m.group(2)}.{int(m.group(3)):02d}", s)
+    s = subdollar.sub(lambda m: f"¢{int(m.group(2))}", s)
     return s
 
 

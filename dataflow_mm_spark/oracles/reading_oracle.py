@@ -308,7 +308,21 @@ def _currency_tokens(toks: list[str]) -> list[str]:
             continue
         out.append(res[i])
         i += 1
-    return out
+    # sub-dollar extraction twin (token-scan form): a "$0.xx"/"£0.xx"/
+    # "€0.xx" token reads ¢xx (int() strips leading cent zeros)
+    final: list[str] = []
+    for t in out:
+        if (
+            len(t) >= 4
+            and t[0] in "$£€"
+            and t[1:3] == "0."
+            and t[3:].isdigit()
+            and len(t) <= 5
+        ):
+            final.append(f"¢{int(t[3:])}")
+        else:
+            final.append(t)
+    return final
 
 
 _O_SMALL_DIGITS = {

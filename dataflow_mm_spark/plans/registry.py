@@ -1140,6 +1140,12 @@ _NUMWORD_PHRASES = [
     "double trouble",
     "triple oh one extension",
     "double two nineteen eighty four",
+    # sub-dollar extraction (r5: closes the last currency exclusion —
+    # Whisper extract_cents: $0.xx → ¢xx, leading cent zeros stripped)
+    "zero dollars and fifty cents",
+    "zero point five dollars",
+    "pay zero point zero five dollars now",
+    "zero dollars",
 ]
 from dataflow_mm_spark.oracles.reading_oracle import (  # noqa: E402
     en_number_words as _oracle_en_words,

@@ -52,6 +52,15 @@ CAND_SCHEMA = T.StructType(
 # Python compare loop beats numpy dispatch (A/B measured, see module use)
 _VEC_MIN = 16
 
+
+def _upgrade_entries(entries: list[list]) -> list[list]:
+    """Pre-r4 checkpoints stored hex-digest signature lists; convert via
+    the same 60-bit prefix law the live path uses (int(hex[:15], 16)), so
+    resumed state keeps matching instead of silently never matching."""
+    if entries and isinstance(entries[0][1][0], str):
+        return [[k, [int(h[:15], 16) for h in sig]] for k, sig in entries]
+    return entries
+
 BUCKET_STATE = T.StructType(
     [
         T.StructField("entries_json", T.StringType()),
@@ -126,14 +135,9 @@ def neardup_candidates_stream(
         if state.hasTimedOut:
             state.remove()
             return  # nothing to emit — skip the empty-frame alloc
-        entries: list[list] = (
+        entries: list[list] = _upgrade_entries(
             json.loads(state.get[0]) if state.exists else []
         )
-        if entries and isinstance(entries[0][1][0], str):
-            # pre-r4 checkpoint (hex-digest signatures): convert via the
-            # same 60-bit prefix law the live path uses, so resumed state
-            # keeps matching instead of silently never matching
-            entries = [[k, [int(h[:15], 16) for h in sig]] for k, sig in entries]
         seen_keys = {e[0] for e in entries}
         out = []
         last_ms = state.get[1] if state.exists else 0

@@ -42,7 +42,8 @@ def sh(cmd: list[str], **kw) -> subprocess.CompletedProcess:
     return subprocess.run(cmd, capture_output=True, text=True, **kw)
 
 
-def gen_shards(n_convs: int, work: str, inp: str | None) -> list[str]:
+def gen_shards(n_convs: int, work: str, inp: str | None,
+               files: int = 64) -> list[str]:
     shards = [os.path.join(work, f"shard{i}") for i in range(4)]
     code = f"""
 import sys; sys.path.insert(0, {REPO!r})
@@ -61,7 +62,7 @@ df = transcripts(spark, n_convs={n_convs})
 df = df.withColumn('_s', F.pmod(F.xxhash64('conv_id'), F.lit(4)))
 for i in range(4):
     (df.filter(F.col('_s') == i).drop('_s')
-       .repartition(64, F.xxhash64('conv_id', 'turn_idx'))
+       .repartition({files}, F.xxhash64('conv_id', 'turn_idx'))
        .write.mode('overwrite').parquet({work!r} + f'/shard{{i}}'))
 print('SHARDED')
 """
@@ -98,7 +99,7 @@ def parse_tps(stdout: str) -> dict | None:
 
 def main() -> None:
     args = sys.argv[1:]
-    n_convs, jobs, passes, mft, inp = 1_200_000, ["cep"], 2, 16, None
+    n_convs, jobs, passes, mft, inp, files = 1_200_000, ["cep"], 2, 16, None, 64
     i = 0
     while i < len(args):
         a = args[i]
@@ -114,6 +115,9 @@ def main() -> None:
         elif a == "--input":
             i += 1
             inp = args[i]
+        elif a == "--files":
+            i += 1
+            files = int(args[i])
         elif not a.startswith("--"):
             n_convs = int(a)
         i += 1
@@ -121,7 +125,7 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="dfmm_exec_", dir="/dev/shm")
     out: dict = {"model": "4x local[8] key-disjoint shards", "jobs": {}}
     try:
-        shards = gen_shards(n_convs, work, inp)
+        shards = gen_shards(n_convs, work, inp, files)
         sets = ["0-7", "8-15", "16-23", "24-31"]
         for job in jobs:
             results = []
