@@ -2517,6 +2517,90 @@ WHERE 2 * c.n * t.u >= 2 * t.s + 3 * t.u
 """
 
 
+def events_ctc_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 real CTC forced alignment under the gate
+    (audio_ctc_forced_alignment_transcription_quality_evaluator.py:434-441
+    analogue — the torchaudio.forced_align call replaced by the engine's
+    own Viterbi DP). Per sampled event a T x 7 emission matrix is
+    synthesized whose prescribed path (leading blank; token i for
+    k_i=(event_id+i)%3+1 frames; one blank after each token) dominates
+    every alternative by ≥50 log-prob per deviating frame, so the Viterbi
+    optimum is closed-form: the oracle recomputes each token's padded span
+    from the same integer arithmetic (start_i = 1 + Σ_{j<i}(k_j+1);
+    padding absorbs single-frame blank midpoints per get_spans:478-524).
+    Any DP defect — transition mask, tie-break, backtrack, padding, ms
+    conversion — hash-mismatches. Sampled 1-in-7 (the DP is per-row
+    python-loop over ≤17 frames; the fixture is about correctness, the
+    emission payload at scale crosses Arrow once by necessity)."""
+    import numpy as np
+
+    from dataflow_mm_spark.operators.align import align_spans
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("event_id") % 7) == 0)
+        .select("event_id")
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                n_tok = eid % 4 + 1
+                toks = [1 + (eid + 2 * i) % 5 for i in range(n_tok)]
+                ks = [(eid + i) % 3 + 1 for i in range(n_tok)]
+                sym = [0]
+                for tok, k in zip(toks, ks):
+                    sym += [tok] * k + [0]
+                em = np.full((len(sym), 7), -50.0)
+                em[np.arange(len(sym)), sym] = 0.0
+                rows.append((eid, em.tolist(), toks))
+            yield pd.DataFrame(
+                rows, columns=["event_id", "emissions", "targets"]
+            )
+
+    src = ev.mapInPandas(
+        gen, "event_id long, emissions array<array<double>>, targets array<int>"
+    )
+    out = align_spans(src, id_cols=("event_id",))
+    s = F.col("s")
+    return out.select("event_id", F.explode("spans").alias("s")).select(
+        "event_id",
+        s.getField("tok_idx").alias("tok_idx"),
+        s.getField("token").alias("token"),
+        s.getField("start_frame").alias("start_frame"),
+        s.getField("end_frame").alias("end_frame"),
+        s.getField("start_ms").alias("start_ms"),
+        s.getField("end_ms").alias("end_ms"),
+        F.round(s.getField("score"), 6).alias("score"),
+    )
+
+
+EVENTS_CTC_ALIGN_SQL = """
+WITH e AS (
+  SELECT event_id, CAST(event_id % 4 + 1 AS INT) AS n_tok
+  FROM events WHERE event_id % 7 = 0
+), t AS (
+  SELECT event_id, CAST(i AS INT) AS tok_idx,
+         CAST(1 + (event_id + 2*i) % 5 AS INT) AS token,
+         1 + 2*i + COALESCE(list_sum(list_transform(range(i),
+                                      j -> (event_id + j) % 3)), 0) AS start_f,
+         (event_id + i) % 3 + 1 AS k
+  FROM e, LATERAL (SELECT unnest(range(n_tok)) AS i)
+)
+SELECT event_id, tok_idx, token,
+       CAST(CASE WHEN tok_idx = 0 THEN 0 ELSE start_f - 1 END AS INT)
+         AS start_frame,
+       CAST(start_f + k AS INT) AS end_frame,
+       CAST(CASE WHEN tok_idx = 0 THEN 0 ELSE (start_f - 1) * 20 END AS BIGINT)
+         AS start_ms,
+       CAST((start_f + k) * 20 AS BIGINT) AS end_ms,
+       CAST(1.0 AS DOUBLE) AS score
+FROM t
+"""
+
+
 def transcripts_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 streaming semantics under the DuckDB value-hash gate: the REAL
     flagship ``turns_pipeline`` (readStream → watermark → stateful
@@ -3706,6 +3790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_visual_dependency": docs_visual_dependency,
     "docs_image_dims": docs_image_dims,
     "events_heavy_hitters": events_heavy_hitters,
+    "events_ctc_align": events_ctc_align,
     "transcripts_stream_pipeline": transcripts_stream_pipeline,
     "transcripts_stream_neardup": transcripts_stream_neardup,
     "events_stream_merge": events_stream_merge,
@@ -3821,6 +3906,7 @@ ORACLES: dict[str, str] = {
     "docs_visual_dependency": DOCS_VISUAL_DEP_SQL,
     "docs_image_dims": DOCS_IMAGE_DIMS_SQL,
     "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
+    "events_ctc_align": EVENTS_CTC_ALIGN_SQL,
     "transcripts_stream_pipeline": TRANSCRIPTS_STREAM_SQL,
     "transcripts_stream_windows": TRANSCRIPTS_STREAM_WIN_SQL,
     "transcripts_stream_cep": TRANSCRIPTS_STREAM_CEP_SQL,
