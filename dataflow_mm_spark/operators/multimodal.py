@@ -6,10 +6,11 @@ The reference loads images/audio/video lazily per row from paths
 ``binary`` columns with explicit metadata structs; the heavy decode /
 feature-extract / resize / frame-sample kernels run as Arrow-batched
 ``mapInPandas`` so the Spark-side plumbing (schema, partition sizing, batch
-shape) is real and tested — while the actual codec call is STUBBED in this
-container (no cv2/PIL): ``decode_image_stub`` raises NotImplementedError
-unless ``fake=True``, which produces a deterministic fake decode so the
-pipeline shape can be exercised end-to-end.
+shape) is real and tested.  Uncompressed BMP is a REAL codec end-to-end
+(numpy decode/encode, NN resize, seg-cutout mask application — see
+``decode_bmp``); entropy-coded formats (JPEG/PNG/video) still need cv2/PIL,
+absent in this container, so their decode raises NotImplementedError unless
+``fake=True`` (deterministic fake so the pipeline shape stays exercisable).
 
 Partitioning note: asset rows are large — callers should repartition so a
 partition holds ~64-256MB of payload (spark.sql.files.maxPartitionBytes
@@ -261,6 +262,155 @@ def with_asset_meta(
     ).drop("_jpeg_dims")
 
 
+# --- real BMP codec path (pure numpy, no image libs) ------------------------
+#
+# BMP (BITMAPINFOHEADER, BI_RGB uncompressed, 24/32 bpp) is fully decodable
+# with array arithmetic: fixed-offset header, 4-byte-padded BGR(A) rows,
+# bottom-up storage unless biHeight < 0.  That makes ONE codec genuinely
+# end-to-end in this container — decode → cutout/crop → resize → features →
+# re-encode — while JPEG/PNG/video decode stays the documented pluggable gap
+# (their entropy coders need cv2/PIL).  The reference's decode edge is
+# cv2.imread / PIL in vision_seg_cutout_refiner.py:44-72 and
+# utils/utils.py:27-50.
+
+
+def decode_bmp(buf) -> "np.ndarray":
+    """Decode an uncompressed (BI_RGB) 24/32-bpp BMP to an (h, w, 3|4) uint8
+    RGB(A) array.  Handles row padding to 4 bytes and bottom-up vs top-down
+    (negative biHeight) storage.  Raises ValueError on anything else —
+    callers surface it per-row, never fail the job."""
+    import numpy as np
+
+    b = bytes(buf or b"")
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pix_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP unsupported")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    if w <= 0 or h == 0:
+        raise ValueError("bad dimensions")
+    topdown = h < 0
+    h = abs(h)
+    nchan = bpp // 8
+    stride = (w * nchan + 3) // 4 * 4
+    need = pix_off + stride * h
+    if need > len(b):
+        raise ValueError("truncated pixel data")
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = rows.reshape(h, stride)[:, : w * nchan].reshape(h, w, nchan)
+    if not topdown:
+        rows = rows[::-1]
+    # BGR(A) -> RGB(A)
+    out = rows[..., [2, 1, 0]] if nchan == 3 else rows[..., [2, 1, 0, 3]]
+    return np.ascontiguousarray(out)
+
+
+def encode_bmp(img: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3|4) uint8 RGB(A) array as an uncompressed
+    bottom-up 24/32-bpp BMP (BITMAPINFOHEADER)."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, nchan = img.shape
+    if nchan not in (3, 4):
+        raise ValueError("expected RGB or RGBA")
+    bpp = nchan * 8
+    stride = (w * nchan + 3) // 4 * 4
+    bgr = img[..., [2, 1, 0]] if nchan == 3 else img[..., [2, 1, 0, 3]]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * nchan] = bgr.reshape(h, w * nchan)
+    pix = rows[::-1].tobytes()  # bottom-up
+    pix_off = 54
+    size = pix_off + len(pix)
+    hdr = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + pix_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return hdr + pix
+
+
+def nn_resize(img: "np.ndarray", size: tuple[int, int]) -> "np.ndarray":
+    """Nearest-neighbor resize to (out_w, out_h) — pixel-center sampling
+    ``src = floor((i + 0.5) * in / out)``, integer-exact as
+    ``(2i + 1) * in // (2 * out)`` so cross-engine oracles can replay it."""
+    import numpy as np
+
+    out_w, out_h = size
+    h, w = img.shape[:2]
+    iy = (2 * np.arange(out_h) + 1) * h // (2 * out_h)
+    ix = (2 * np.arange(out_w) + 1) * w // (2 * out_w)
+    return img[iy][:, ix]
+
+
+def cutout_bbox(img: "np.ndarray", x0: int, y0: int, x1: int, y1: int) -> "np.ndarray":
+    """Seg-cutout with a rectangular mask (VisionSegCutoutRefiner:53-69
+    analogue — the YOLO mask is the pluggable serving stage; the mask
+    APPLICATION is this): RGBA output, selected pixels keep RGB and get
+    alpha 255, everything else zeroed — same canvas size as the input,
+    exactly the reference's ``np.zeros((h,w,4)); output[sel]=...``."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    out = np.zeros((h, w, 4), dtype=np.uint8)
+    x0, y0 = max(0, x0), max(0, y0)
+    x1, y1 = min(w, x1), min(h, y1)
+    if x1 > x0 and y1 > y0:
+        out[y0:y1, x0:x1, :3] = img[y0:y1, x0:x1, :3]
+        out[y0:y1, x0:x1, 3] = 255
+    return out
+
+
+def seg_cutout(
+    df: DataFrame,
+    bin_col: str = "payload",
+    bbox_cols: tuple[str, str, str, str] = ("x0", "y0", "x1", "y1"),
+    id_cols: tuple[str, ...] = ("doc_id",),
+    out_col: str = "cutout",
+) -> DataFrame:
+    """VisionSegCutoutRefiner re-expressed: decode (real for BMP) → apply the
+    mask (bbox columns standing in for the serving-side seg mask) → re-encode
+    RGBA.  Output: id cols + ``cutout binary`` (32-bpp BMP) + ``error``."""
+    dts = dict(df.dtypes)
+    ids_schema = ", ".join(f"{c} {dts[c]}" for c in id_cols)
+    schema = f"{ids_schema}, {out_col} binary, error string"
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs, errs = [], []
+            for r in pdf.itertuples():
+                try:
+                    img = decode_bmp(getattr(r, bin_col))
+                    x0, y0, x1, y1 = (int(getattr(r, c)) for c in bbox_cols)
+                    outs.append(encode_bmp(cutout_bbox(img, x0, y0, x1, y1)))
+                    errs.append(None)
+                except ValueError as e:
+                    outs.append(None)
+                    errs.append(str(e))
+            out = pdf[list(id_cols)].copy()
+            out[out_col] = outs
+            out["error"] = errs
+            yield out
+
+    return df.mapInPandas(gen, schema)
+
+
 def decode_and_featurize(
     df: DataFrame,
     bin_col: str = "payload",
@@ -268,25 +418,41 @@ def decode_and_featurize(
     resize_to: tuple[int, int] = (224, 224),
     fake: bool = False,
 ) -> DataFrame:
-    """Decode → resize → feature-extract, Arrow-batched. Real decode is
-    stubbed in this container (no image libs); ``fake=True`` derives a
-    deterministic 8-dim feature from the payload hash so downstream plumbing
-    (schema, batching, joins) is testable."""
+    """Decode → resize → feature-extract, Arrow-batched.  REAL for
+    uncompressed BMP payloads (numpy decode + nearest-neighbor resize;
+    feature = per-channel means of the resized image, scaled to [0,1]).
+    Other codecs (JPEG/PNG entropy coders) need cv2/PIL — absent here —
+    so they raise NotImplementedError unless ``fake=True``, which derives
+    a deterministic 8-dim feature from the payload hash so downstream
+    plumbing (schema, batching, joins) stays testable for every format."""
     ids = ", ".join(f"{c} long" for c in id_cols)
     schema = f"{ids}, width int, height int, feature array<float>"
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires cv2/PIL — not available in this "
-                    "container; pass fake=True for the deterministic stub"
-                )
             rows = []
             for r in pdf.itertuples():
                 payload: bytes = getattr(r, bin_col) or b""
-                h = hashlib.sha256(payload).digest()
-                feat = [b / 255.0 for b in h[:8]]
+                if payload[:2] == b"BM" and not fake:
+                    img = decode_bmp(payload)
+                    h, w = img.shape[:2]
+                    small = nn_resize(img[..., :3], resize_to)
+                    feat = [
+                        float(m) / 255.0
+                        for m in small.reshape(-1, 3).mean(axis=0)
+                    ]
+                    rows.append([*[getattr(r, c) for c in id_cols], w, h, feat])
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "non-BMP image decode requires cv2/PIL — not "
+                        "available in this container; pass fake=True for "
+                        "the deterministic stub"
+                    )
+                hsh = hashlib.sha256(payload).digest()
+                feat = [b / 255.0 for b in hsh[:8]]
                 rows.append(
                     [*[getattr(r, c) for c in id_cols], *resize_to, feat]
                 )

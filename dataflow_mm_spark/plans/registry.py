@@ -2601,6 +2601,150 @@ FROM t
 """
 
 
+def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/G-modality real pixel path under the gate
+    (vision_seg_cutout_refiner.py:44-72 analogue, mask application + codec
+    real, seg model pluggable). Per doc a 24-bpp BMP is synthesized RAW —
+    explicit BGR interleave, 4-byte row padding, bottom-up storage (every
+    8th doc stored top-down with negative biHeight) — deliberately NOT via
+    ``encode_bmp``, so a matched encode/decode defect cannot cancel. The
+    REAL pipeline then runs: ``seg_cutout`` (decode → bbox mask, operator
+    clips the oversized box → RGBA re-encode) → second decode → integer
+    channel sums over the canvas, plus an 8x8 ``nn_resize`` R-channel sum
+    of the original. The oracle replays every value from the pixel formula
+    (channel c at (x,y) = (a_c*x + b_c*y + doc_id) mod p_c) and the
+    pixel-center resize index ((2i+1)*w // 16) in pure SQL — any padding,
+    flip, channel-order, clip, or resample defect hash-mismatches."""
+    import numpy as np
+
+    from dataflow_mm_spark.operators.multimodal import (
+        decode_bmp,
+        nn_resize,
+        seg_cutout,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_payload(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                topdown = did % 8 == 3
+                y, x = np.mgrid[0:h, 0:w]
+                r = (2 * x + 13 * y + did) % 239
+                g = (5 * x + 11 * y + did) % 241
+                b = (3 * x + 7 * y + did) % 251
+                stride = (w * 3 + 3) // 4 * 4
+                rowbuf = np.zeros((h, stride), dtype=np.uint8)
+                rowbuf[:, : w * 3] = (
+                    np.stack([b, g, r], axis=-1).astype(np.uint8).reshape(h, w * 3)
+                )
+                stored = rowbuf if topdown else rowbuf[::-1]
+                pix = stored.tobytes()
+                hdr = (
+                    b"BM"
+                    + (54 + len(pix)).to_bytes(4, "little")
+                    + b"\x00" * 4
+                    + (54).to_bytes(4, "little")
+                    + (40).to_bytes(4, "little")
+                    + w.to_bytes(4, "little", signed=True)
+                    + (-h if topdown else h).to_bytes(4, "little", signed=True)
+                    + (1).to_bytes(2, "little")
+                    + (24).to_bytes(2, "little")
+                    + (0).to_bytes(4, "little")
+                    + len(pix).to_bytes(4, "little")
+                    + b"\x00" * 16
+                )
+                rows.append((did, hdr + pix))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    src = docs.mapInPandas(gen_payload, "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        (F.col("doc_id") % 3).cast("int").alias("x0"),
+        (F.col("doc_id") % 4).cast("int").alias("y0"),
+        # oversized on purpose — the OPERATOR must clip to the image
+        (F.col("doc_id") % 3 + F.col("doc_id") % 5 + 2).cast("int").alias("x1"),
+        (F.col("doc_id") % 4 + F.col("doc_id") % 6 + 2).cast("int").alias("y1"),
+    ).cache()
+
+    cut = seg_cutout(src)
+
+    def cut_stats(it):
+        for pdf in it:
+            rows = []
+            for r_ in pdf.itertuples():
+                img = decode_bmp(r_.cutout)  # RGBA canvas
+                rgb = img[..., :3].astype(np.int64)
+                rows.append(
+                    (
+                        r_.doc_id,
+                        int(rgb[..., 0].sum()),
+                        int(rgb[..., 1].sum()),
+                        int(rgb[..., 2].sum()),
+                        int((img[..., 3] == 255).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sum_r", "sum_g", "sum_b", "alpha_n"]
+            )
+
+    stats_cut = cut.mapInPandas(
+        cut_stats,
+        "doc_id long, sum_r bigint, sum_g bigint, sum_b bigint, alpha_n bigint",
+    )
+
+    def orig_stats(it):
+        for pdf in it:
+            rows = []
+            for r_ in pdf.itertuples():
+                img = decode_bmp(r_.payload)
+                h, w = img.shape[:2]
+                r8 = int(nn_resize(img, (8, 8))[..., 0].astype(np.int64).sum())
+                rows.append((r_.doc_id, w, h, r8))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "r8"])
+
+    stats_orig = src.mapInPandas(
+        orig_stats, "doc_id long, width int, height int, r8 bigint"
+    )
+    return stats_orig.join(stats_cut, "doc_id")
+
+
+DOCS_BMP_PIXELS_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h,
+         doc_id % 3 AS x0, doc_id % 4 AS y0,
+         LEAST(doc_id % 13 + 4, doc_id % 3 + doc_id % 5 + 2) AS x1,
+         LEAST(doc_id % 11 + 4, doc_id % 4 + doc_id % 6 + 2) AS y1
+  FROM documents
+), crop AS (
+  SELECT doc_id,
+         SUM((2*x + 13*y + doc_id) % 239) AS sum_r,
+         SUM((5*x + 11*y + doc_id) % 241) AS sum_g,
+         SUM((3*x + 7*y + doc_id) % 251) AS sum_b,
+         COUNT(*) AS alpha_n
+  FROM d,
+       LATERAL (SELECT unnest(range(x0, x1)) AS x),
+       LATERAL (SELECT unnest(range(y0, y1)) AS y)
+  GROUP BY doc_id
+), rs AS (
+  SELECT doc_id,
+         SUM((2*((2*i+1)*w // 16) + 13*((2*j+1)*h // 16) + doc_id) % 239) AS r8
+  FROM d,
+       LATERAL (SELECT unnest(range(8)) AS i),
+       LATERAL (SELECT unnest(range(8)) AS j)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(rs.r8 AS BIGINT) AS r8,
+       CAST(crop.sum_r AS BIGINT) AS sum_r, CAST(crop.sum_g AS BIGINT) AS sum_g,
+       CAST(crop.sum_b AS BIGINT) AS sum_b, CAST(crop.alpha_n AS BIGINT) AS alpha_n
+FROM d JOIN crop USING (doc_id) JOIN rs USING (doc_id)
+"""
+
+
 def transcripts_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 streaming semantics under the DuckDB value-hash gate: the REAL
     flagship ``turns_pipeline`` (readStream → watermark → stateful
@@ -3791,6 +3935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_image_dims": docs_image_dims,
     "events_heavy_hitters": events_heavy_hitters,
     "events_ctc_align": events_ctc_align,
+    "docs_bmp_pixels": docs_bmp_pixels,
     "transcripts_stream_pipeline": transcripts_stream_pipeline,
     "transcripts_stream_neardup": transcripts_stream_neardup,
     "events_stream_merge": events_stream_merge,
@@ -3907,6 +4052,7 @@ ORACLES: dict[str, str] = {
     "docs_image_dims": DOCS_IMAGE_DIMS_SQL,
     "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
     "events_ctc_align": EVENTS_CTC_ALIGN_SQL,
+    "docs_bmp_pixels": DOCS_BMP_PIXELS_SQL,
     "transcripts_stream_pipeline": TRANSCRIPTS_STREAM_SQL,
     "transcripts_stream_windows": TRANSCRIPTS_STREAM_WIN_SQL,
     "transcripts_stream_cep": TRANSCRIPTS_STREAM_CEP_SQL,
