@@ -3846,10 +3846,52 @@ FROM ({DOCS_TEMPLATED_SQL})
 """
 
 
+def docs_aesthetic_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 aesthetic-predictor HEAD for real (suite member): the reference's
+    MLP regression head (video_aesthetic_evaluator.py:78-97, thresholded by
+    image_aesthetic_filter.py) runs as the engine's broadcast-weights
+    batched-matmul ``mlp_score`` over the embeddings table.  Cross-engine
+    exactness: inputs are the established round(x*1000) int64 quantization
+    and the fixture head (``det_head``) has small-integer weights, so every
+    intermediate is an integer-valued double — no summation-order
+    ambiguity — and the DuckDB oracle replays the full forward pass
+    (ReLU hidden layer included) with list arithmetic."""
+    from dataflow_mm_spark.functions.mlphead import det_head, mlp_score
+    from dataflow_mm_spark.functions.similarity import quantize_vec
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(
+            quantize_vec(F.col("embedding")), lambda x: x.cast("double")
+        ).alias("qv"),
+    )
+    scored = mlp_score(q, "qv", det_head(64), out_col="score", l2_normalize=False)
+    return scored.select(
+        "doc_id", "score", (F.col("score") >= 0).alias("keep")
+    )
+
+
+DOCS_AESTHETIC_MLP_SQL = """
+WITH s AS (
+  SELECT vec_id AS doc_id,
+         CAST(list_sum(list_transform(range(8), j ->
+           GREATEST(0.0,
+             list_sum(list_transform(range(64), i ->
+               round(CAST(embedding[i + 1] AS DOUBLE) * 1000, 0)
+               * ((7*i + 13*j + 3) % 5 - 2)))
+             + (j % 3) - 1)
+           * ((11*j) % 7 - 3))) + 5 AS DOUBLE) AS score
+  FROM embeddings
+)
+SELECT doc_id, score, score >= 0 AS keep FROM s
+"""
+
+
 def docs_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-threshold filter family under one gate row (members:
     docs_score_filter F2 / docs_keep_top_ratio D6 / docs_clip_score_filter
-    F7-F12 serving shape)."""
+    F7-F12 serving shape / docs_aesthetic_mlp F3 real MLP head)."""
     sf_ = docs_score_filter(spark, sf_dir).select(
         F.lit("score_filter").alias("family"), "doc_id",
         F.col("score").cast("double").alias("score"),
@@ -3865,7 +3907,12 @@ def docs_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clip_score").cast("double").alias("score"),
         F.lit(True).alias("keep"),
     )
-    return sf_.unionByName(kt).unionByName(cs)
+    am = docs_aesthetic_mlp(spark, sf_dir).select(
+        F.lit("aesthetic_mlp").alias("family"), "doc_id",
+        F.col("score").cast("double").alias("score"),
+        F.col("keep"),
+    )
+    return sf_.unionByName(kt).unionByName(cs).unionByName(am)
 
 
 DOCS_FILTER_SUITE_SQL = f"""
@@ -3878,6 +3925,9 @@ FROM ({DOCS_KEEP_TOP_SQL})
 UNION ALL
 SELECT 'clip_score', doc_id, CAST(clip_score AS DOUBLE), TRUE
 FROM ({DOCS_CLIP_SCORE_SQL})
+UNION ALL
+SELECT 'aesthetic_mlp', doc_id, CAST(score AS DOUBLE), keep
+FROM ({DOCS_AESTHETIC_MLP_SQL})
 """
 
 
@@ -3978,6 +4028,7 @@ MEMBER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_score_filter": docs_score_filter,
     "docs_keep_top_ratio": docs_keep_top_ratio,
     "docs_clip_score_filter": docs_clip_score_filter,
+    "docs_aesthetic_mlp": docs_aesthetic_mlp,
 }
 
 MEMBER_ORACLES: dict[str, str] = {
@@ -4009,6 +4060,7 @@ MEMBER_ORACLES: dict[str, str] = {
     "docs_score_filter": DOCS_SCORE_FILTER_SQL,
     "docs_keep_top_ratio": DOCS_KEEP_TOP_SQL,
     "docs_clip_score_filter": DOCS_CLIP_SCORE_SQL,
+    "docs_aesthetic_mlp": DOCS_AESTHETIC_MLP_SQL,
 }
 
 ORACLES: dict[str, str] = {
