@@ -14,8 +14,10 @@ import difflib
 from collections.abc import Callable
 
 from dataflow_mm_spark.functions import cn_norm, dedup, evaluate, extraction
-from dataflow_mm_spark.functions import normalize, quality, similarity, textanalysis
+from dataflow_mm_spark.functions import mlphead, normalize, quality, similarity
+from dataflow_mm_spark.functions import textanalysis
 from dataflow_mm_spark.operators import (
+    align,
     cep,
     conversation,
     expansion,
@@ -89,9 +91,10 @@ OPERATOR_REGISTRY: dict[str, Callable] = {
     "TimestampChunkRowGenerator": expansion.merge_spans_capped,
     "VideoFrameSampler": expansion.sample_points,
     "VideoClipGenerator": expansion.explode_nested_clips,
-    # multimodal plumbing
-    "VisionSegCutoutRefiner": multimodal.decode_and_featurize,
-    "VisionSegCutout": multimodal.decode_and_featurize,  # legacy alias
+    # multimodal plumbing (r5: mask application + BMP codec real; the YOLO
+    # seg mask itself is a serving input — bbox columns stand in)
+    "VisionSegCutoutRefiner": multimodal.seg_cutout,
+    "VisionSegCutout": multimodal.seg_cutout,  # legacy alias
     # text analysis
     "LanguageIDScorer": textanalysis.lang_guess,
     "QualityScorer": textanalysis.quality_score,
@@ -113,7 +116,10 @@ MODEL_KERNEL_REGISTRY: dict[str, tuple[Callable, str]] = {
     "ImageCLIPEvaluator": (filters.score_filter, "CLIP image-text score UDF"),
     "ImageLongCLIPEvaluator": (filters.score_filter, "LongCLIP score UDF"),
     "ImageVQAScoreEvaluator": (filters.score_filter, "VQAScore model UDF"),
-    "ImageAestheticFilter": (filters.range_filter, "aesthetic-predictor UDF"),
+    "ImageAestheticFilter": (
+        mlphead.aesthetic_filter,
+        "CLIP image-embedding UDF + head checkpoint weights (the MLP "
+        "forward pass itself is real — functions/mlphead.py)"),
     "CatFilter": (filters.score_filter, "category-classifier UDF"),
     "ImageCatFilter": (filters.score_filter, "category-classifier UDF"),
     "ImageComplexityFilter": (filters.range_filter, "complexity-scorer UDF"),
@@ -121,8 +127,12 @@ MODEL_KERNEL_REGISTRY: dict[str, tuple[Callable, str]] = {
     "ImageSensitiveFilter": (filters.score_filter, "safety-classifier UDF"),
     "ImageBboxGenerator": (
         multimodal.decode_and_featurize, "detection-model kernel"),
-    "VideoAestheticEvaluator": (filters.range_filter, "aesthetic UDF over frames"),
-    "VideoAestheticFilter": (filters.range_filter, "aesthetic UDF over frames"),
+    "VideoAestheticEvaluator": (
+        mlphead.aesthetic_filter,
+        "CLIP frame-embedding UDF + head weights (MLP forward real)"),
+    "VideoAestheticFilter": (
+        mlphead.aesthetic_filter,
+        "CLIP frame-embedding UDF + head weights (MLP forward real)"),
     "VideoLuminanceEvaluator": (
         multimodal.decode_and_featurize, "frame-decode (cv2) kernel"),
     "VideoLuminanceFilter": (
@@ -135,7 +145,10 @@ MODEL_KERNEL_REGISTRY: dict[str, tuple[Callable, str]] = {
     "VideoFrameFilter": (
         multimodal.decode_and_featurize, "frame-decode (cv2) kernel"),
     "CTCForcedAlignmentSampleEvaluator": (
-        filters.span_score_filter, "CTC forced-alignment model kernel"),
+        align.align_spans,
+        "acoustic CTC emissions (frame log-prob) serving UDF — the "
+        "forced-alignment Viterbi/spans themselves are real "
+        "(operators/align.py)"),
 }
 
 
