@@ -1461,7 +1461,10 @@ SELECT ida AS vec_id, round(avg(sim), 6) AS knn_sim FROM r WHERE rank <= 5 GROUP
 # xxhash64 datagen remains the perf-bench input (streaming suite, bench.py).
 # ---------------------------------------------------------------------------
 
-from dataflow_mm_spark.plans.portable import SYNTH_TURNS_SQL, synthetic_turns  # noqa: E402
+from dataflow_mm_spark.plans.portable import (  # noqa: E402
+    SYNTH_TURNS_SQL,
+    synthetic_turns_cached as synthetic_turns,
+)
 
 
 def transcripts_role_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2760,7 +2763,10 @@ def transcripts_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dataflow_mm_spark.plans.portable import phash, synthetic_turns
+    from dataflow_mm_spark.plans.portable import (
+        phash,
+        synthetic_turns_cached as synthetic_turns,
+    )
     from dataflow_mm_spark.streaming.jobs import drain_resumable, turns_pipeline
 
     work = tempfile.mkdtemp(prefix="dfmm_gate_stream_")
@@ -2830,7 +2836,9 @@ def transcripts_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dataflow_mm_spark.plans.portable import synthetic_turns
+    from dataflow_mm_spark.plans.portable import (
+        synthetic_turns_cached as synthetic_turns,
+    )
     from dataflow_mm_spark.streaming.jobs import drain_resumable, windowed_pipeline
 
     work = tempfile.mkdtemp(prefix="dfmm_gate_swin_")
@@ -2893,7 +2901,9 @@ def transcripts_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dataflow_mm_spark.plans.portable import synthetic_turns
+    from dataflow_mm_spark.plans.portable import (
+        synthetic_turns_cached as synthetic_turns,
+    )
     from dataflow_mm_spark.streaming.jobs import cep_pipeline, drain_resumable
 
     work = tempfile.mkdtemp(prefix="dfmm_gate_scep_")
@@ -2973,7 +2983,9 @@ def transcripts_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dataflow_mm_spark.plans.portable import synthetic_turns
+    from dataflow_mm_spark.plans.portable import (
+        synthetic_turns_cached as synthetic_turns,
+    )
     from dataflow_mm_spark.streaming.jobs import drain_resumable, sessionized_pipeline
 
     work = tempfile.mkdtemp(prefix="dfmm_gate_ssess_")
@@ -3023,7 +3035,9 @@ def transcripts_stream_cep_summary(spark: SparkSession, sf_dir: str) -> DataFram
     import shutil
     import tempfile
 
-    from dataflow_mm_spark.plans.portable import synthetic_turns
+    from dataflow_mm_spark.plans.portable import (
+        synthetic_turns_cached as synthetic_turns,
+    )
     from dataflow_mm_spark.streaming.jobs import cep_pipeline, drain_resumable
 
     work = tempfile.mkdtemp(prefix="dfmm_gate_scepsum_")
@@ -3126,7 +3140,10 @@ def transcripts_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dataflow_mm_spark.plans.portable import phash, synthetic_turns
+    from dataflow_mm_spark.plans.portable import (
+        phash,
+        synthetic_turns_cached as synthetic_turns,
+    )
     from dataflow_mm_spark.streaming.jobs import drain_resumable, context_pipeline
 
     work = tempfile.mkdtemp(prefix="dfmm_gate_sjoin_")
@@ -3295,7 +3312,10 @@ def transcripts_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dataflow_mm_spark.plans.portable import phash, synthetic_turns
+    from dataflow_mm_spark.plans.portable import (
+        phash,
+        synthetic_turns_cached as synthetic_turns,
+    )
     from dataflow_mm_spark.streaming.jobs import (
         drain_resumable,
         neardup_pipeline,

@@ -34,7 +34,13 @@ from pyspark.sql import functions as F  # noqa: E402
 from dataflow_mm_spark.functions.dedup import simhash_neardup_pairs  # noqa: E402
 from dataflow_mm_spark.operators.filters import range_filter  # noqa: E402
 from dataflow_mm_spark.operators.generate import prompted_generator  # noqa: E402
-from dataflow_mm_spark.operators.multimodal import with_asset_meta  # noqa: E402
+from dataflow_mm_spark.functions.mlphead import mlp_score  # noqa: E402
+from dataflow_mm_spark.operators.multimodal import (  # noqa: E402
+    decode_and_featurize,
+    encode_bmp,
+    seg_cutout,
+    with_asset_meta,
+)
 from dataflow_mm_spark.operators.topk import keep_top_ratio  # noqa: E402
 from dataflow_mm_spark.session import get_spark  # noqa: E402
 from dataflow_mm_spark.sources.io import jdbc_read, jdbc_write  # noqa: E402
@@ -114,6 +120,49 @@ def main() -> None:
     kept = scored.filter(F.col("score") >= 0.25)
     n2 = kept.count()
 
+    # 3b (r5). REAL pixel path for the BMP subset: synthesize full pixel
+    # data, then decode → seg-cutout mask application → re-encode → second
+    # decode + NN-resize features → aesthetic MLP head (weights supplied
+    # like a checkpoint — here a tiny deterministic head over the pixel
+    # features; in deployment, CLIP embeddings + the real checkpoint).
+    import numpy as np
+    import pandas as pd
+
+    def gen_bmp(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = did % 13 + 6, did % 11 + 6
+                y, x = np.mgrid[0:bh, 0:bw]
+                img = np.stack(
+                    [(2 * x + 3 * y + did) % 256, (5 * x + y) % 256,
+                     (x + 7 * y) % 256], -1
+                ).astype(np.uint8)
+                rows.append((did, encode_bmp(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "bmp"])
+
+    pix = (
+        kept.filter(F.col("mime") == "image/bmp")
+        .select("doc_id")
+        .mapInPandas(gen_bmp, "doc_id long, bmp binary")
+        .select(
+            "doc_id", "bmp",
+            (F.col("doc_id") % 3).cast("int").alias("x0"),
+            (F.col("doc_id") % 4).cast("int").alias("y0"),
+            F.lit(5).cast("int").alias("x1"),
+            F.lit(6).cast("int").alias("y1"),
+        )
+    )
+    cut = seg_cutout(pix, "bmp").filter(F.col("error").isNull())
+    feats = decode_and_featurize(cut, "cutout", resize_to=(8, 8))
+    head = [
+        (np.arange(12).reshape(4, 3) % 3 - 1.0, np.zeros(4), "relu"),
+        (np.ones((1, 4)), np.array([0.1]), None),
+    ]
+    aest = mlp_score(feats, "feature", head, out_col="aesthetic")
+    n2b = aest.filter(F.col("aesthetic") > -10).count()
+
     # 4. caption near-dup keep-first (SimHash, Hamming <= 8)
     pairs = simhash_neardup_pairs(
         kept.select(F.col("doc_id"), F.col("caption").alias("text")),
@@ -143,10 +192,12 @@ def main() -> None:
     n5 = back.count()
 
     print(
-        f"assets {n0} -> sized {n1} -> scored>=0.25 {n2} -> "
+        f"assets {n0} -> sized {n1} -> scored>=0.25 {n2} "
+        f"(real-pixel BMP cutout+head scored {n2b}) -> "
         f"near-dup-unique {n3} -> top60% {n4} -> warehouse rows {n5}"
     )
     assert n5 == n4 > 0
+    assert n2b > 0
     spark.stop()
 
 
