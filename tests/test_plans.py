@@ -76,3 +76,25 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_turns")
         spark.sql("DROP TABLE IF EXISTS bk_scores")
+
+
+def test_synthetic_turns_cached_bit_identical(spark):
+    """The session memo must serve EXACTLY the rows of the direct synth
+    (the value-hash gate depends on it) and reuse one materialization per
+    (application, sf_dir)."""
+    import os
+
+    from dataflow_mm_spark.plans import portable as P
+
+    sf = "/root/testdata/sf0.001"
+    a = P.synthetic_turns(spark, sf).orderBy("conv_id", "turn_idx").collect()
+    b = (
+        P.synthetic_turns_cached(spark, sf)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert a == b
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf))
+    path = P._SYNTH_CACHE[key]
+    P.synthetic_turns_cached(spark, sf).count()
+    assert P._SYNTH_CACHE[key] == path  # no re-materialization
