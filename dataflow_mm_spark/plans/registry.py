@@ -2604,6 +2604,136 @@ FROM t
 """
 
 
+def events_wav_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/audio real path under the gate (audio_silero_voice_activity_
+    detection_timestamps_generator.py analogue — the Silero model replaced
+    by the engine's energy probability source; the timestamp FSM and the
+    WAV decode are the real production code). Per sampled event a 16-bit
+    PCM WAV is synthesized RAW (literal RIFF header bytes + little-endian
+    samples — independent of ``encode_wav`` so matched codec bugs can't
+    cancel): 1 lead silence window, then n_seg=(e%3+1) loud segments of
+    k_i=(e+i)%3+8 windows (amplitude 20000 → energy prob 0.61 ≥ 0.5) each
+    followed by 6 silence windows. With the default FSM constants every
+    segment closes via min_silence, clears min_speech, and pads without
+    sharing, so spans are closed-form: (512·(1+14i+Σ_{j<i}(e+j)%3) − 480,
+    start_raw + 512·k_i + 480) — replayed by the oracle with integer
+    prefix-sum SQL. Any decode (chunk walk, channel stride, sign), energy,
+    hysteresis, min-speech/min-silence, or padding defect
+    hash-mismatches."""
+    import numpy as np
+
+    from dataflow_mm_spark.operators.audio import vad_spans
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("event_id") % 11) == 1)
+        .select("event_id")
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                n_seg = eid % 3 + 1
+                wins = [0]
+                for i in range(n_seg):
+                    wins += [1] * ((eid + i) % 3 + 8) + [0] * 6
+                amp = np.repeat(np.asarray(wins, dtype=np.int16) * 20000, 512)
+                data = amp.astype("<i2").tobytes()
+                hdr = (
+                    b"RIFF"
+                    + (36 + len(data)).to_bytes(4, "little")
+                    + b"WAVEfmt "
+                    + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little")      # PCM
+                    + (1).to_bytes(2, "little")      # mono
+                    + (16000).to_bytes(4, "little")  # sample rate
+                    + (32000).to_bytes(4, "little")  # byte rate
+                    + (2).to_bytes(2, "little")      # block align
+                    + (16).to_bytes(2, "little")     # bits
+                    + b"data"
+                    + len(data).to_bytes(4, "little")
+                )
+                rows.append((eid, hdr + data))
+            yield pd.DataFrame(rows, columns=["event_id", "payload"])
+
+    src = ev.mapInPandas(gen, "event_id long, payload binary")
+    out = vad_spans(src, id_cols=("event_id",))
+    s = F.col("s")
+    return out.select("event_id", F.explode("spans").alias("s")).select(
+        "event_id",
+        s.getField("span_idx").alias("span_idx"),
+        s.getField("start_sample").alias("start_sample"),
+        s.getField("end_sample").alias("end_sample"),
+        s.getField("start_ms").alias("start_ms"),
+        s.getField("end_ms").alias("end_ms"),
+        s.getField("n_windows").alias("n_windows"),
+    )
+
+
+EVENTS_WAV_VAD_SQL = """
+WITH e AS (
+  SELECT event_id, CAST(event_id % 3 + 1 AS INT) AS n_seg
+  FROM events WHERE event_id % 11 = 1
+), t AS (
+  SELECT event_id, CAST(i AS INT) AS span_idx,
+         512 * (1 + 14*i + COALESCE(list_sum(list_transform(range(i),
+                                     j -> (event_id + j) % 3)), 0)) AS start_raw,
+         (event_id + i) % 3 + 8 AS k
+  FROM e, LATERAL (SELECT unnest(range(n_seg)) AS i)
+)
+SELECT event_id, span_idx,
+       CAST(start_raw - 480 AS BIGINT) AS start_sample,
+       CAST(start_raw + 512*k + 480 AS BIGINT) AS end_sample,
+       CAST((start_raw - 480) * 1000 // 16000 AS BIGINT) AS start_ms,
+       CAST((start_raw + 512*k + 480) * 1000 // 16000 AS BIGINT) AS end_ms,
+       CAST(k + 1 AS BIGINT) AS n_windows
+FROM t
+"""
+
+
+def events_audio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio real-kernel family under one gate row (members:
+    events_ctc_align A2 Viterbi forced alignment / events_wav_vad W5 WAV
+    decode + VAD timestamp FSM). Column harmonization (union-suite dtype
+    rule): c1/c2/c3 carry (token, start_frame, end_frame) for ctc and
+    (start_sample, end_sample, n_windows) for vad; score is the ctc span
+    score, literal 1.0 for vad."""
+    ca = events_ctc_align(spark, sf_dir).select(
+        F.lit("ctc_align").alias("family"), "event_id",
+        F.col("tok_idx").alias("idx"),
+        F.col("token").cast("bigint").alias("c1"),
+        F.col("start_frame").cast("bigint").alias("c2"),
+        F.col("end_frame").cast("bigint").alias("c3"),
+        "start_ms", "end_ms",
+        F.col("score").cast("double").alias("score"),
+    )
+    wv = events_wav_vad(spark, sf_dir).select(
+        F.lit("wav_vad").alias("family"), "event_id",
+        F.col("span_idx").alias("idx"),
+        F.col("start_sample").alias("c1"),
+        F.col("end_sample").alias("c2"),
+        F.col("n_windows").alias("c3"),
+        "start_ms", "end_ms",
+        F.lit(1.0).alias("score"),
+    )
+    return ca.unionByName(wv)
+
+
+EVENTS_AUDIO_SUITE_SQL = f"""
+SELECT 'ctc_align' AS family, event_id, tok_idx AS idx,
+       CAST(token AS BIGINT) AS c1, CAST(start_frame AS BIGINT) AS c2,
+       CAST(end_frame AS BIGINT) AS c3, start_ms, end_ms,
+       CAST(score AS DOUBLE) AS score
+FROM ({EVENTS_CTC_ALIGN_SQL})
+UNION ALL
+SELECT 'wav_vad', event_id, span_idx, start_sample, end_sample, n_windows,
+       start_ms, end_ms, CAST(1.0 AS DOUBLE)
+FROM ({EVENTS_WAV_VAD_SQL})
+"""
+
+
 def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/G-modality real pixel path under the gate
     (vision_seg_cutout_refiner.py:44-72 analogue, mask application + codec
@@ -4004,7 +4134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_visual_dependency": docs_visual_dependency,
     "docs_image_dims": docs_image_dims,
     "events_heavy_hitters": events_heavy_hitters,
-    "events_ctc_align": events_ctc_align,
+    "events_audio_suite": events_audio_suite,
     "docs_bmp_pixels": docs_bmp_pixels,
     "transcripts_stream_pipeline": transcripts_stream_pipeline,
     "transcripts_stream_neardup": transcripts_stream_neardup,
@@ -4049,6 +4179,8 @@ MEMBER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_keep_top_ratio": docs_keep_top_ratio,
     "docs_clip_score_filter": docs_clip_score_filter,
     "docs_aesthetic_mlp": docs_aesthetic_mlp,
+    "events_ctc_align": events_ctc_align,
+    "events_wav_vad": events_wav_vad,
 }
 
 MEMBER_ORACLES: dict[str, str] = {
@@ -4081,6 +4213,8 @@ MEMBER_ORACLES: dict[str, str] = {
     "docs_keep_top_ratio": DOCS_KEEP_TOP_SQL,
     "docs_clip_score_filter": DOCS_CLIP_SCORE_SQL,
     "docs_aesthetic_mlp": DOCS_AESTHETIC_MLP_SQL,
+    "events_ctc_align": EVENTS_CTC_ALIGN_SQL,
+    "events_wav_vad": EVENTS_WAV_VAD_SQL,
 }
 
 ORACLES: dict[str, str] = {
@@ -4123,7 +4257,7 @@ ORACLES: dict[str, str] = {
     "docs_visual_dependency": DOCS_VISUAL_DEP_SQL,
     "docs_image_dims": DOCS_IMAGE_DIMS_SQL,
     "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
-    "events_ctc_align": EVENTS_CTC_ALIGN_SQL,
+    "events_audio_suite": EVENTS_AUDIO_SUITE_SQL,
     "docs_bmp_pixels": DOCS_BMP_PIXELS_SQL,
     "transcripts_stream_pipeline": TRANSCRIPTS_STREAM_SQL,
     "transcripts_stream_windows": TRANSCRIPTS_STREAM_WIN_SQL,

@@ -18,6 +18,7 @@ from dataflow_mm_spark.functions import mlphead, normalize, quality, similarity
 from dataflow_mm_spark.functions import textanalysis
 from dataflow_mm_spark.operators import (
     align,
+    audio,
     cep,
     conversation,
     expansion,
@@ -87,7 +88,9 @@ OPERATOR_REGISTRY: dict[str, Callable] = {
     "BatchVQAGenerator": generate.batch_list_generator,
     # segmentation / windows
     "VideoSceneFilter": windows.tumbling_agg,
-    "SileroVADGenerator": windows.session_agg_batch,
+    # r5: the VAD timestamp FSM + WAV decode are real (operators/audio.py);
+    # the Silero probability head is pluggable (energy probs by default)
+    "SileroVADGenerator": audio.vad_spans,
     "TimestampChunkRowGenerator": expansion.merge_spans_capped,
     "VideoFrameSampler": expansion.sample_points,
     "VideoClipGenerator": expansion.explode_nested_clips,
