@@ -411,6 +411,50 @@ def seg_cutout(
     return df.mapInPandas(gen, schema)
 
 
+def luminance_stats(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """VideoLuminanceEvaluator analogue over the REAL codec path: decode
+    (BMP) and aggregate Rec.601 luma — integer milli-coefficients
+    ``Y₁₀₀₀ = 299·R + 587·G + 114·B`` summed exactly in int64, so callers
+    compute ``mean_luma = lum_millisum / (1000 · n_px)`` and gates can
+    replay the sum closed-form.  Per-row error capture; non-BMP payloads
+    report the codec gap instead of failing the job."""
+    import numpy as np
+
+    dts = dict(df.dtypes)
+    ids_schema = ", ".join(f"{c} {dts[c]}" for c in id_cols)
+    schema = f"{ids_schema}, lum_millisum bigint, n_px bigint, error string"
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sums, npx, errs = [], [], []
+            for payload in pdf[bin_col]:
+                try:
+                    img = decode_bmp(payload).astype(np.int64)
+                    y = (
+                        299 * img[..., 0]
+                        + 587 * img[..., 1]
+                        + 114 * img[..., 2]
+                    )
+                    sums.append(int(y.sum()))
+                    npx.append(int(img.shape[0] * img.shape[1]))
+                    errs.append(None)
+                except ValueError as e:
+                    sums.append(None)
+                    npx.append(None)
+                    errs.append(str(e))
+            out = pdf[list(id_cols)].copy()
+            out["lum_millisum"] = pd.array(sums, dtype="Int64")
+            out["n_px"] = pd.array(npx, dtype="Int64")
+            out["error"] = errs
+            yield out
+
+    return df.mapInPandas(gen, schema)
+
+
 def decode_and_featurize(
     df: DataFrame,
     bin_col: str = "payload",

@@ -2752,6 +2752,7 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dataflow_mm_spark.operators.multimodal import (
         decode_bmp,
+        luminance_stats,
         nn_resize,
         seg_cutout,
     )
@@ -2842,7 +2843,8 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats_orig = src.mapInPandas(
         orig_stats, "doc_id long, width int, height int, r8 bigint"
     )
-    return stats_orig.join(stats_cut, "doc_id")
+    lum = luminance_stats(src).select("doc_id", "lum_millisum", "n_px")
+    return stats_orig.join(stats_cut, "doc_id").join(lum, "doc_id")
 
 
 DOCS_BMP_PIXELS_SQL = """
@@ -2869,12 +2871,24 @@ WITH d AS (
        LATERAL (SELECT unnest(range(8)) AS i),
        LATERAL (SELECT unnest(range(8)) AS j)
   GROUP BY doc_id
+), lum AS (
+  SELECT doc_id,
+         SUM(299*((2*x + 13*y + doc_id) % 239)
+           + 587*((5*x + 11*y + doc_id) % 241)
+           + 114*((3*x + 7*y + doc_id) % 251)) AS lum_millisum,
+         COUNT(*) AS n_px
+  FROM d,
+       LATERAL (SELECT unnest(range(w)) AS x),
+       LATERAL (SELECT unnest(range(h)) AS y)
+  GROUP BY doc_id
 )
 SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(rs.r8 AS BIGINT) AS r8,
        CAST(crop.sum_r AS BIGINT) AS sum_r, CAST(crop.sum_g AS BIGINT) AS sum_g,
-       CAST(crop.sum_b AS BIGINT) AS sum_b, CAST(crop.alpha_n AS BIGINT) AS alpha_n
-FROM d JOIN crop USING (doc_id) JOIN rs USING (doc_id)
+       CAST(crop.sum_b AS BIGINT) AS sum_b, CAST(crop.alpha_n AS BIGINT) AS alpha_n,
+       CAST(lum.lum_millisum AS BIGINT) AS lum_millisum,
+       CAST(lum.n_px AS BIGINT) AS n_px
+FROM d JOIN crop USING (doc_id) JOIN rs USING (doc_id) JOIN lum USING (doc_id)
 """
 
 

@@ -127,3 +127,21 @@ def test_seg_cutout_spark_roundtrip(spark):
         got = MM.decode_bmp(rows[i].cutout)
         want = MM.cutout_bbox(imgs[i], 1, 1, 4, 3 + i)
         assert np.array_equal(got, want)
+
+
+def test_luminance_stats(spark):
+    rng = np.random.default_rng(11)
+    img = _rand_img(rng, 5, 6, 3)
+    df = spark.createDataFrame(
+        [(1, MM.encode_bmp(img)), (2, b"junk" * 20)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in MM.luminance_stats(df).collect()}
+    y = (
+        299 * img[..., 0].astype(np.int64)
+        + 587 * img[..., 1].astype(np.int64)
+        + 114 * img[..., 2].astype(np.int64)
+    )
+    assert rows[1].error is None
+    assert rows[1].lum_millisum == int(y.sum()) and rows[1].n_px == 30
+    assert rows[2].lum_millisum is None and rows[2].error
