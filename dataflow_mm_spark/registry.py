@@ -137,9 +137,13 @@ MODEL_KERNEL_REGISTRY: dict[str, tuple[Callable, str]] = {
         mlphead.aesthetic_filter,
         "CLIP frame-embedding UDF + head weights (MLP forward real)"),
     "VideoLuminanceEvaluator": (
-        multimodal.decode_and_featurize, "frame-decode (cv2) kernel"),
+        multimodal.luminance_stats,
+        "frame-decode (cv2) kernel for entropy-coded video — the Rec.601 "
+        "luma aggregation itself is real and BMP decodes in-engine"),
     "VideoLuminanceFilter": (
-        multimodal.decode_and_featurize, "frame-decode (cv2) kernel"),
+        multimodal.luminance_stats,
+        "frame-decode (cv2) kernel for entropy-coded video — the Rec.601 "
+        "luma aggregation itself is real and BMP decodes in-engine"),
     "VideoOCREvaluator": (filters.score_filter, "OCR-model UDF"),
     "VideoOCRFilter": (filters.score_filter, "OCR-model UDF"),
     "VideoClipFilter": (filters.nested_clip_filter, "CLIP score UDF per clip"),
