@@ -4107,8 +4107,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming gate queries stay LAST (a wedged stream query must not
     # shadow the batch rows), with the two foreachBatch ones leading that
     # tail — see streaming/jobs._start_native for the py4j session cap.
-    # r5: consolidated to <50 entries (suites above) so the driver's
+    # r5: consolidated via family suites, then grown back to EXACTLY 50
+    # with the real-kernel rows (audio suite, bmp pixels) — the driver's
     # 50-entry CORRECTNESS record witnesses EVERY row, streaming included.
+    # The registry is FULL: a new query must join an existing suite or
+    # consolidate one first (CLAUDE.md).
     "q1_pricing_summary": q1_pricing_summary,
     "transcripts_quality_windows": transcripts_quality_windows,
     "emb_ann_lsh_topk": emb_ann_lsh_topk,
