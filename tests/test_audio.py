@@ -143,3 +143,40 @@ def test_vad_spans_spark(spark):
             for s in rows[k].spans
         ]
         assert got == want
+
+
+def test_vad_spans_on_structured_stream(spark, tmp_path):
+    """The per-row kernels are stateless mapInPandas — they must run
+    UNCHANGED on a streaming DataFrame (the north-rule shape: assets
+    arriving on a stream). availableNow drain == batch result."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    payloads = []
+    for k in range(4):
+        x = np.zeros(W * 22, dtype=np.int16)
+        x[W * 2 : W * (9 + k)] = 21000
+        payloads.append((k, encode_wav(x)))
+    df = spark.createDataFrame(payloads, "event_id long, payload binary")
+    df.repartition(2).write.parquet(inp)
+
+    stream = spark.readStream.schema(df.schema).parquet(inp)
+    q = (
+        vad_spans(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointPath", ck)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: [(s.start_sample, s.end_sample) for s in r.spans]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.event_id: [(s.start_sample, s.end_sample) for s in r.spans]
+        for r in vad_spans(df).collect()
+    }
+    assert got == want and len(got) == 4
