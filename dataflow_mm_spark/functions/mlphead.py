@@ -66,16 +66,30 @@ def mlp_score(
     ]
     bc = spark.sparkContext.broadcast(frozen)
 
+    in_dim = frozen[0][0].shape[1]
+
     @F.pandas_udf("double")
     def head(vecs: pd.Series) -> pd.Series:
-        X = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in vecs]
-        ) if len(vecs) else np.zeros((0, 1))
-        if len(vecs) and l2_normalize:
-            n = np.linalg.norm(X, axis=1, keepdims=True)
-            X = X / np.where(n == 0, 1.0, n)
-        out = mlp_forward(X, bc.value) if len(vecs) else np.zeros(0)
-        return pd.Series(out)
+        # NULL / ragged embeddings score NULL per row — one bad row must
+        # never abort the Arrow task (per-row contract of the scoring ops)
+        arrs, ok_idx = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.ndim == 1 and a.shape[0] == in_dim:
+                arrs.append(a)
+                ok_idx.append(i)
+        out = pd.array([None] * len(vecs), dtype="Float64")
+        if arrs:
+            X = np.stack(arrs)
+            if l2_normalize:
+                n = np.linalg.norm(X, axis=1, keepdims=True)
+                X = X / np.where(n == 0, 1.0, n)
+            scores = mlp_forward(X, bc.value)
+            for j, i in enumerate(ok_idx):
+                out[i] = scores[j]
+        return pd.Series(out, dtype="Float64")
 
     return df.withColumn(out_col, head(F.col(vec_col)))
 

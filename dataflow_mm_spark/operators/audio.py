@@ -70,6 +70,8 @@ def decode_wav(buf) -> tuple[np.ndarray, int]:
                     f"unsupported WAV (fmt={fmt}, bits={bits}) — 16-bit PCM only"
                 )
             end = min(body + size, n)
+            if not sr or sr <= 0:
+                raise ValueError("bad sample rate in fmt chunk")
             raw = np.frombuffer(b, dtype="<i2", count=(end - body) // 2, offset=body)
             if channels and channels > 1:
                 raw = raw[:: channels]  # channel 0
@@ -196,6 +198,11 @@ def vad_row(
     """One row end-to-end: decode (skipped when a model-supplied ``probs``
     sequence is given) → energy probs → FSM.  Errors land in the per-row
     error field, mirroring the reference's worker contract."""
+    if probs is None and "sample_rate" in vad_kw:
+        raise TypeError(
+            "sample_rate is read from the WAV header; it is only a "
+            "parameter of the model-supplied-probs path"
+        )
     try:
         if probs is None:
             samples, sr = decode_wav(payload)
@@ -240,6 +247,13 @@ def vad_spans(
     ``spans`` (span_idx, start/end sample, start/end ms, n_windows) +
     ``error``.  The audio payload crosses Arrow once by necessity; project
     other wide columns away first."""
+    if "sample_rate" in vad_kw:
+        # loud caller-misuse error ONCE, not a per-row TypeError on every
+        # row: over WAV payloads the rate comes from each file's header
+        raise TypeError(
+            "sample_rate is read from each WAV header; it is only a "
+            "parameter of the model-supplied-probs path (vad_row(probs=…))"
+        )
     dts = dict(df.dtypes)
     ids_schema = ", ".join(f"{c} {dts[c]}" for c in id_cols)
     schema = f"{ids_schema}, spans {VAD_SPAN_SCHEMA}, error string"

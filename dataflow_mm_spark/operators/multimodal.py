@@ -480,7 +480,15 @@ def decode_and_featurize(
             for r in pdf.itertuples():
                 payload: bytes = getattr(r, bin_col) or b""
                 if payload[:2] == b"BM" and not fake:
-                    img = decode_bmp(payload)
+                    try:
+                        img = decode_bmp(payload)
+                    except ValueError:
+                        # malformed 'BM'-prefixed payload: per-row NULLs,
+                        # never a job failure (decode_bmp's contract)
+                        rows.append(
+                            [*[getattr(r, c) for c in id_cols], None, None, None]
+                        )
+                        continue
                     h, w = img.shape[:2]
                     small = nn_resize(img[..., :3], resize_to)
                     feat = [

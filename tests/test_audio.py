@@ -180,3 +180,15 @@ def test_vad_spans_on_structured_stream(spark, tmp_path):
         for r in vad_spans(df).collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_error_contract_hardening():
+    # sample_rate=0 in the header is a per-row ValueError, not a crash
+    x = np.arange(W * 10, dtype=np.int16)
+    bad = bytearray(encode_wav(x))
+    bad[24:28] = (0).to_bytes(4, "little")
+    rows, _, err = vad_row(bytes(bad), window=W)
+    assert rows == [] and "sample rate" in err
+    # sample_rate kwarg over a WAV payload is loud caller misuse
+    with pytest.raises(TypeError, match="WAV header"):
+        vad_row(encode_wav(x), window=W, sample_rate=8000)

@@ -145,3 +145,15 @@ def test_luminance_stats(spark):
     assert rows[1].error is None
     assert rows[1].lum_millisum == int(y.sum()) and rows[1].n_px == 30
     assert rows[2].lum_millisum is None and rows[2].error
+
+
+def test_decode_and_featurize_malformed_bm_prefix(spark):
+    rng = np.random.default_rng(12)
+    good = MM.encode_bmp(_rand_img(rng, 3, 3, 3))
+    df = spark.createDataFrame(
+        [(1, good), (2, b"BM" + b"\x00" * 20)],  # truncated BM payload
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in MM.decode_and_featurize(df).collect()}
+    assert rows[1].width == 3 and rows[1].feature is not None
+    assert rows[2].width is None and rows[2].feature is None  # per-row NULL

@@ -105,3 +105,17 @@ def test_det_head_integer_exact():
     q = rng.integers(-1500, 1500, size=(50, 64)).astype(np.float64)
     out = mlp_forward(q, layers)
     assert np.array_equal(out, np.round(out))  # exact integers in float64
+
+
+def test_mlp_score_null_and_ragged_rows(spark):
+    layers = [(np.ones((1, 3)), np.zeros(1), None)]
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, None), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: r.score
+        for r in mlp_score(df, layers=layers, l2_normalize=False).collect()
+    }
+    assert rows[1] == pytest.approx(6.0)
+    assert rows[2] is None and rows[3] is None  # per-row NULL, no job abort
