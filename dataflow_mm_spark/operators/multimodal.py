@@ -6,11 +6,15 @@ The reference loads images/audio/video lazily per row from paths
 ``binary`` columns with explicit metadata structs; the heavy decode /
 feature-extract / resize / frame-sample kernels run as Arrow-batched
 ``mapInPandas`` so the Spark-side plumbing (schema, partition sizing, batch
-shape) is real and tested.  Uncompressed BMP is a REAL codec end-to-end
-(numpy decode/encode, NN resize, seg-cutout mask application — see
-``decode_bmp``); entropy-coded formats (JPEG/PNG/video) still need cv2/PIL,
-absent in this container, so their decode raises NotImplementedError unless
-``fake=True`` (deterministic fake so the pipeline shape stays exercisable).
+shape) is real and tested.  THREE codecs are REAL end-to-end with no image
+library: uncompressed BMP (numpy decode/encode), PNG (stdlib-zlib DEFLATE +
+all five scanline filters, ``decode_png``), and GIF (pure-Python
+variable-width LZW, ``decode_gif``) — plus NN resize and seg-cutout mask
+application over any of them (``decode_image`` sniffs the magic).  JPEG and
+video decode still need cv2/ffmpeg (custom Huffman+DCT / inter-frame
+coders), absent in this container, so those raise NotImplementedError
+unless ``fake=True`` (deterministic fake so the pipeline shape stays
+exercisable).
 
 Partitioning note: asset rows are large — callers should repartition so a
 partition holds ~64-256MB of payload (spark.sql.files.maxPartitionBytes
@@ -266,11 +270,12 @@ def with_asset_meta(
 #
 # BMP (BITMAPINFOHEADER, BI_RGB uncompressed, 24/32 bpp) is fully decodable
 # with array arithmetic: fixed-offset header, 4-byte-padded BGR(A) rows,
-# bottom-up storage unless biHeight < 0.  That makes ONE codec genuinely
-# end-to-end in this container — decode → cutout/crop → resize → features →
-# re-encode — while JPEG/PNG/video decode stays the documented pluggable gap
-# (their entropy coders need cv2/PIL).  The reference's decode edge is
-# cv2.imread / PIL in vision_seg_cutout_refiner.py:44-72 and
+# bottom-up storage unless biHeight < 0.  Together with decode_png /
+# decode_gif below, three codecs are genuinely end-to-end in this
+# container — decode → cutout/crop → resize → features → re-encode — while
+# JPEG/video decode stays the documented pluggable gap (custom Huffman+DCT
+# and inter-frame coders are what cv2/ffmpeg are for).  The reference's
+# decode edge is cv2.imread / PIL in vision_seg_cutout_refiner.py:44-72 and
 # utils/utils.py:27-50.
 
 
@@ -346,6 +351,298 @@ def encode_bmp(img: "np.ndarray") -> bytes:
     return hdr + pix
 
 
+# --- real PNG codec path (stdlib zlib + numpy, no image libs) ----------------
+#
+# PNG's "entropy coder" is DEFLATE — Python's stdlib ``zlib`` — so unlike
+# JPEG (custom Huffman + DCT) a full, real PNG decode needs no external
+# image library: chunk walk → zlib.decompress(IDAT) → per-scanline
+# unfiltering (types 0-4 incl. Paeth) → channel expansion.  Scope: 8-bit
+# depth, color types 0/2/3/4/6, non-interlaced (Adam7 raises ValueError —
+# progressive delivery is a wire-format concern, not a pixel-semantics one).
+# Reference decode edge: cv2.imread/PIL in vision_seg_cutout_refiner.py:44-72.
+
+
+def decode_png(buf) -> "np.ndarray":
+    """Decode an 8-bit-depth, non-interlaced PNG (color types 0 gray,
+    2 RGB, 3 palette, 4 gray+alpha, 6 RGBA) to an (h, w, 3|4) uint8 RGB(A)
+    array.  Real DEFLATE via stdlib zlib; real unfiltering for all five
+    scanline filter types.  Raises ValueError on anything else — callers
+    surface it per-row, never fail the job."""
+    import zlib
+
+    import numpy as np
+
+    b = bytes(buf or b"")
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nchan is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad dimensions")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from None
+    stride = w * nchan
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated pixel data")
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride)).reshape(
+        h, 1 + stride
+    )
+    bpp = nchan  # bytes per pixel at depth 8
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:  # Up — fully vectorized
+            rec = (cur + prior) & 0xFF
+        elif ft == 1:  # Sub = per-lane cumulative sum mod 256
+            rec = cur.reshape(-1, bpp).cumsum(axis=0) & 0xFF
+            rec = rec.reshape(-1)
+        else:  # Average(3) / Paeth(4) need the reconstructed left pixel
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                bb = prior[x]
+                if ft == 3:
+                    rec[x] = (cur[x] + ((a + bb) >> 1)) & 0xFF
+                elif ft == 4:
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    px = out.reshape(h, w, nchan)
+    if ctype == 2:
+        return np.ascontiguousarray(px)
+    if ctype == 6:
+        return np.ascontiguousarray(px)
+    if ctype == 0:
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if ctype == 4:
+        gray = np.repeat(px[..., :1], 3, axis=2)
+        return np.ascontiguousarray(np.concatenate([gray, px[..., 1:]], axis=2))
+    # ctype == 3: palette
+    if plte is None or len(plte) % 3:
+        raise ValueError("palette PNG without valid PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = px[..., 0]
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("palette index out of range")
+    return np.ascontiguousarray(pal[idx])
+
+
+def encode_png(img: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3|4) uint8 RGB(A) array as an 8-bit non-interlaced
+    PNG (color type 2 or 6, filter 0 on every scanline, stdlib zlib)."""
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, nchan = img.shape
+    if nchan not in (3, 4):
+        raise ValueError("expected RGB or RGBA")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2 if nchan == 3 else 6, 0, 0, 0])
+    )
+    lines = np.zeros((h, 1 + w * nchan), dtype=np.uint8)
+    lines[:, 1:] = img.reshape(h, w * nchan)
+    idat = zlib.compress(lines.tobytes())
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+# --- real GIF decode path (pure-Python LZW + numpy, no image libs) -----------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_px: int) -> "np.ndarray":
+    """Variable-width LSB-first GIF LZW decode of ``data`` (concatenated
+    image sub-blocks) into exactly ``n_px`` palette indices.  Handles clear
+    codes, the KwKwK self-reference case, and the 12-bit table cap."""
+    import numpy as np
+
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while len(out) < n_px:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = table[: clear + 2]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_px:
+        raise ValueError("LZW stream ended early")
+    return np.frombuffer(bytes(out[:n_px]), dtype=np.uint8)
+
+
+def decode_gif(buf) -> "np.ndarray":
+    """Decode the FIRST frame of a GIF87a/89a to an (h, w, 3) uint8 RGB
+    array — real variable-width LZW, global or local color table, Adam-style
+    4-pass interlace.  Later frames / disposal compositing are out of scope
+    (the reference's frame sampling grabs stills).  Raises ValueError on
+    malformed input — callers surface it per-row, never fail the job."""
+    import numpy as np
+
+    b = bytes(buf or b"")
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(b):
+        marker = b[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+        if pos + 9 > len(b):
+            raise ValueError("truncated image descriptor")
+        w = int.from_bytes(b[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+        ipacked = b[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=pos).reshape(
+                -1, 3
+            )
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        if w <= 0 or h <= 0:
+            raise ValueError("bad dimensions")
+        min_code_size = b[pos]
+        pos += 1
+        chunks = []
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            chunks.append(b[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [
+                    np.arange(0, h, 8),
+                    np.arange(4, h, 8),
+                    np.arange(2, h, 4),
+                    np.arange(1, h, 2),
+                ]
+            )
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return np.ascontiguousarray(pal[idx])
+    raise ValueError("GIF contains no image")
+
+
+def decode_image(buf) -> "np.ndarray":
+    """Magic-sniffed decode to an (h, w, 3|4) uint8 RGB(A) array — REAL for
+    BMP (uncompressed), PNG (all five filters, stdlib-zlib DEFLATE) and GIF
+    (LZW, first frame).  JPEG/video stay the documented pluggable gap: their
+    custom entropy coders (Huffman+DCT, inter-frame codecs) are what cv2 /
+    ffmpeg are for.  Raises ValueError for those and anything malformed."""
+    b = bytes(buf or b"")
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
+    raise ValueError("undecodable payload (real codecs: BMP, PNG, GIF)")
+
+
 def nn_resize(img: "np.ndarray", size: tuple[int, int]) -> "np.ndarray":
     """Nearest-neighbor resize to (out_w, out_h) — pixel-center sampling
     ``src = floor((i + 0.5) * in / out)``, integer-exact as
@@ -384,9 +681,10 @@ def seg_cutout(
     id_cols: tuple[str, ...] = ("doc_id",),
     out_col: str = "cutout",
 ) -> DataFrame:
-    """VisionSegCutoutRefiner re-expressed: decode (real for BMP) → apply the
-    mask (bbox columns standing in for the serving-side seg mask) → re-encode
-    RGBA.  Output: id cols + ``cutout binary`` (32-bpp BMP) + ``error``."""
+    """VisionSegCutoutRefiner re-expressed: decode (real for BMP/PNG/GIF via
+    ``decode_image``) → apply the mask (bbox columns standing in for the
+    serving-side seg mask) → re-encode RGBA.  Output: id cols + ``cutout
+    binary`` (32-bpp BMP) + ``error``."""
     dts = dict(df.dtypes)
     ids_schema = ", ".join(f"{c} {dts[c]}" for c in id_cols)
     schema = f"{ids_schema}, {out_col} binary, error string"
@@ -396,7 +694,7 @@ def seg_cutout(
             outs, errs = [], []
             for r in pdf.itertuples():
                 try:
-                    img = decode_bmp(getattr(r, bin_col))
+                    img = decode_image(getattr(r, bin_col))
                     x0, y0, x1, y1 = (int(getattr(r, c)) for c in bbox_cols)
                     outs.append(encode_bmp(cutout_bbox(img, x0, y0, x1, y1)))
                     errs.append(None)
@@ -417,7 +715,7 @@ def luminance_stats(
     id_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
     """VideoLuminanceEvaluator analogue over the REAL codec path: decode
-    (BMP) and aggregate Rec.601 luma — integer milli-coefficients
+    (BMP/PNG/GIF via ``decode_image``) and aggregate Rec.601 luma — integer milli-coefficients
     ``Y₁₀₀₀ = 299·R + 587·G + 114·B`` summed exactly in int64, so callers
     compute ``mean_luma = lum_millisum / (1000 · n_px)`` and gates can
     replay the sum closed-form.  Per-row error capture; non-BMP payloads
@@ -433,7 +731,7 @@ def luminance_stats(
             sums, npx, errs = [], [], []
             for payload in pdf[bin_col]:
                 try:
-                    img = decode_bmp(payload).astype(np.int64)
+                    img = decode_image(payload).astype(np.int64)
                     y = (
                         299 * img[..., 0]
                         + 587 * img[..., 1]
@@ -462,13 +760,13 @@ def decode_and_featurize(
     resize_to: tuple[int, int] = (224, 224),
     fake: bool = False,
 ) -> DataFrame:
-    """Decode → resize → feature-extract, Arrow-batched.  REAL for
-    uncompressed BMP payloads (numpy decode + nearest-neighbor resize;
-    feature = per-channel means of the resized image, scaled to [0,1]).
-    Other codecs (JPEG/PNG entropy coders) need cv2/PIL — absent here —
-    so they raise NotImplementedError unless ``fake=True``, which derives
-    a deterministic 8-dim feature from the payload hash so downstream
-    plumbing (schema, batching, joins) stays testable for every format."""
+    """Decode → resize → feature-extract, Arrow-batched.  REAL for BMP, PNG
+    and GIF payloads (``decode_image`` + nearest-neighbor resize; feature =
+    per-channel means of the resized image, scaled to [0,1]).  JPEG/video
+    need cv2/ffmpeg — absent here — so they raise NotImplementedError
+    unless ``fake=True``, which derives a deterministic 8-dim feature from
+    the payload hash so downstream plumbing (schema, batching, joins)
+    stays testable for every format."""
     ids = ", ".join(f"{c} long" for c in id_cols)
     schema = f"{ids}, width int, height int, feature array<float>"
 
@@ -479,12 +777,17 @@ def decode_and_featurize(
             rows = []
             for r in pdf.itertuples():
                 payload: bytes = getattr(r, bin_col) or b""
-                if payload[:2] == b"BM" and not fake:
+                real_magic = (
+                    payload[:2] == b"BM"
+                    or payload[:8] == b"\x89PNG\r\n\x1a\n"
+                    or payload[:6] in (b"GIF87a", b"GIF89a")
+                )
+                if real_magic and not fake:
                     try:
-                        img = decode_bmp(payload)
+                        img = decode_image(payload)
                     except ValueError:
-                        # malformed 'BM'-prefixed payload: per-row NULLs,
-                        # never a job failure (decode_bmp's contract)
+                        # malformed real-codec payload: per-row NULLs,
+                        # never a job failure (decode_image's contract)
                         rows.append(
                             [*[getattr(r, c) for c in id_cols], None, None, None]
                         )
@@ -499,9 +802,10 @@ def decode_and_featurize(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "non-BMP image decode requires cv2/PIL — not "
-                        "available in this container; pass fake=True for "
-                        "the deterministic stub"
+                        "JPEG/video decode requires cv2/ffmpeg — not "
+                        "available in this container (BMP/PNG/GIF decode "
+                        "is real); pass fake=True for the deterministic "
+                        "stub"
                     )
                 hsh = hashlib.sha256(payload).digest()
                 feat = [b / 255.0 for b in hsh[:8]]

@@ -2736,22 +2736,32 @@ FROM ({EVENTS_WAV_VAD_SQL})
 
 def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/G-modality real pixel path under the gate
-    (vision_seg_cutout_refiner.py:44-72 analogue, mask application + codec
-    real, seg model pluggable). Per doc a 24-bpp BMP is synthesized RAW —
-    explicit BGR interleave, 4-byte row padding, bottom-up storage (every
-    8th doc stored top-down with negative biHeight) — deliberately NOT via
-    ``encode_bmp``, so a matched encode/decode defect cannot cancel. The
-    REAL pipeline then runs: ``seg_cutout`` (decode → bbox mask, operator
-    clips the oversized box → RGBA re-encode) → second decode → integer
-    channel sums over the canvas, plus an 8x8 ``nn_resize`` R-channel sum
-    of the original. The oracle replays every value from the pixel formula
+    (vision_seg_cutout_refiner.py:44-72 analogue, mask application + codecs
+    real, seg model pluggable). r5: a THREE-codec suite — the same pixel
+    formula is delivered per doc as raw-constructed BMP (doc_id%3==0;
+    explicit BGR interleave, 4-byte row padding, bottom-up storage, every
+    8th doc top-down with negative biHeight), PNG (%3==1; scanlines
+    FORWARD-filtered by the fixture cycling all five filter types 0-4,
+    stdlib-zlib IDAT — ``decode_png`` must unfilter), or GIF (%3==2;
+    per-image local palette, fixture-side dict LZW ENCODER — the kernel's
+    table-growth DECODER must reconstruct; doc_id%6==5 additionally
+    interlaced). None of the payloads are built via the engine's own
+    encoders, so a matched encode/decode defect cannot cancel. The REAL
+    pipeline then runs: ``seg_cutout`` (magic-sniffed decode → bbox mask,
+    operator clips the oversized box → RGBA re-encode) → second decode →
+    integer channel sums over the canvas, plus an 8x8 ``nn_resize``
+    R-channel sum of the original and a sniffed ``codec`` column (pure
+    Catalyst). The oracle replays every value from the pixel formula
     (channel c at (x,y) = (a_c*x + b_c*y + doc_id) mod p_c) and the
     pixel-center resize index ((2i+1)*w // 16) in pure SQL — any padding,
-    flip, channel-order, clip, or resample defect hash-mismatches."""
+    flip, channel-order, unfilter, LZW, interlace, clip, or resample
+    defect hash-mismatches."""
+    import zlib
+
     import numpy as np
 
     from dataflow_mm_spark.operators.multimodal import (
-        decode_bmp,
+        decode_image,
         luminance_stats,
         nn_resize,
         seg_cutout,
@@ -2759,39 +2769,156 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
+    def _png_forward(rgb: "np.ndarray") -> bytes:
+        # independent forward filtering (Filt = Raw - predictor), cycling
+        # filter types per row; decode_png owns the inverse direction
+        h, w = rgb.shape[:2]
+        raw_rows = rgb.reshape(h, w * 3)
+        out = bytearray()
+        prior = bytes(w * 3)
+        for y in range(h):
+            row = raw_rows[y].tobytes()
+            ft = y % 5
+            out.append(ft)
+            for x in range(w * 3):
+                rv = row[x]
+                a = row[x - 3] if x >= 3 else 0
+                bb = prior[x]
+                c = prior[x - 3] if x >= 3 else 0
+                if ft == 0:
+                    v = rv
+                elif ft == 1:
+                    v = (rv - a) & 0xFF
+                elif ft == 2:
+                    v = (rv - bb) & 0xFF
+                elif ft == 3:
+                    v = (rv - ((a + bb) >> 1)) & 0xFF
+                else:
+                    p = a + bb - c
+                    pa, pb_, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb_ and pa <= pc) else (bb if pb_ <= pc else c)
+                    v = (rv - pred) & 0xFF
+                out.append(v)
+            prior = row
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big")
+            )
+
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b"")
+        )
+
+    def _gif_build(rgb: "np.ndarray", interlace: bool) -> bytes:
+        # independent dict-based LZW encoder; decode_gif owns the decoder.
+        # ≤224 px/image → every image fits one local 256-color palette.
+        h, w = rgb.shape[:2]
+        flatpx = rgb.reshape(-1, 3)
+        pal, idx = np.unique(flatpx, axis=0, return_inverse=True)
+        bits = max(1, (pal.shape[0] - 1).bit_length())
+        full = np.zeros((1 << bits, 3), dtype=np.uint8)
+        full[: pal.shape[0]] = pal
+        mcs = max(2, bits)
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        rows_idx = idx.reshape(h, w)
+        if interlace:
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            rows_idx = rows_idx[order]
+        seq_in = rows_idx.reshape(-1).astype(int).tolist()
+        d = {bytes([i]): i for i in range(1 << mcs)}
+        next_code, width = eoi + 1, mcs + 1
+        bitbuf: list[int] = []
+
+        def emit(code: int, wdt: int) -> None:
+            for i in range(wdt):
+                bitbuf.append((code >> i) & 1)
+
+        emit(clear, width)
+        seq = bytes([seq_in[0]])
+        for k in seq_in[1:]:
+            cand = seq + bytes([k])
+            if cand in d:
+                seq = cand
+                continue
+            emit(d[seq], width)
+            if next_code < 4096:
+                d[cand] = next_code
+                next_code += 1
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+            seq = bytes([k])
+        emit(d[seq], width)
+        emit(eoi, width)
+        enc = bytearray()
+        for i in range(0, len(bitbuf), 8):
+            byte = 0
+            for j, bit in enumerate(bitbuf[i : i + 8]):
+                byte |= bit << j
+            enc.append(byte)
+        blocks = bytearray([mcs])
+        for i in range(0, len(enc), 255):
+            part = enc[i : i + 255]
+            blocks += bytes([len(part)]) + part
+        blocks += b"\x00"
+        return (
+            b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0, 0, 0])  # no global color table
+            + b"\x2c" + bytes(4)
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0x80 | (bits - 1) | (0x40 if interlace else 0)])
+            + full.tobytes()
+            + bytes(blocks)
+            + b"\x3b"
+        )
+
     def gen_payload(it):
         for pdf in it:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = did % 13 + 4, did % 11 + 4
-                topdown = did % 8 == 3
                 y, x = np.mgrid[0:h, 0:w]
                 r = (2 * x + 13 * y + did) % 239
                 g = (5 * x + 11 * y + did) % 241
                 b = (3 * x + 7 * y + did) % 251
-                stride = (w * 3 + 3) // 4 * 4
-                rowbuf = np.zeros((h, stride), dtype=np.uint8)
-                rowbuf[:, : w * 3] = (
-                    np.stack([b, g, r], axis=-1).astype(np.uint8).reshape(h, w * 3)
-                )
-                stored = rowbuf if topdown else rowbuf[::-1]
-                pix = stored.tobytes()
-                hdr = (
-                    b"BM"
-                    + (54 + len(pix)).to_bytes(4, "little")
-                    + b"\x00" * 4
-                    + (54).to_bytes(4, "little")
-                    + (40).to_bytes(4, "little")
-                    + w.to_bytes(4, "little", signed=True)
-                    + (-h if topdown else h).to_bytes(4, "little", signed=True)
-                    + (1).to_bytes(2, "little")
-                    + (24).to_bytes(2, "little")
-                    + (0).to_bytes(4, "little")
-                    + len(pix).to_bytes(4, "little")
-                    + b"\x00" * 16
-                )
-                rows.append((did, hdr + pix))
+                rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                fam = did % 3
+                if fam == 1:
+                    payload = _png_forward(rgb)
+                elif fam == 2:
+                    payload = _gif_build(rgb, interlace=did % 6 == 5)
+                else:
+                    topdown = did % 8 == 3
+                    stride = (w * 3 + 3) // 4 * 4
+                    rowbuf = np.zeros((h, stride), dtype=np.uint8)
+                    rowbuf[:, : w * 3] = rgb[..., ::-1].reshape(h, w * 3)
+                    stored = rowbuf if topdown else rowbuf[::-1]
+                    pix = stored.tobytes()
+                    payload = (
+                        b"BM"
+                        + (54 + len(pix)).to_bytes(4, "little")
+                        + b"\x00" * 4
+                        + (54).to_bytes(4, "little")
+                        + (40).to_bytes(4, "little")
+                        + w.to_bytes(4, "little", signed=True)
+                        + (-h if topdown else h).to_bytes(4, "little", signed=True)
+                        + (1).to_bytes(2, "little")
+                        + (24).to_bytes(2, "little")
+                        + (0).to_bytes(4, "little")
+                        + len(pix).to_bytes(4, "little")
+                        + b"\x00" * 16
+                        + pix
+                    )
+                rows.append((did, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     src = docs.mapInPandas(gen_payload, "doc_id long, payload binary").select(
@@ -2810,7 +2937,7 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             rows = []
             for r_ in pdf.itertuples():
-                img = decode_bmp(r_.cutout)  # RGBA canvas
+                img = decode_image(r_.cutout)  # RGBA canvas (BMP re-encode)
                 rgb = img[..., :3].astype(np.int64)
                 rows.append(
                     (
@@ -2834,7 +2961,7 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             rows = []
             for r_ in pdf.itertuples():
-                img = decode_bmp(r_.payload)
+                img = decode_image(r_.payload)
                 h, w = img.shape[:2]
                 r8 = int(nn_resize(img, (8, 8))[..., 0].astype(np.int64).sum())
                 rows.append((r_.doc_id, w, h, r8))
@@ -2844,7 +2971,21 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         orig_stats, "doc_id long, width int, height int, r8 bigint"
     )
     lum = luminance_stats(src).select("doc_id", "lum_millisum", "n_px")
-    return stats_orig.join(stats_cut, "doc_id").join(lum, "doc_id")
+    # sniffed from the actual payload bytes (pure Catalyst), NOT doc_id —
+    # the oracle derives it from doc_id%3, so a dispatch defect mismatches
+    codec = src.select(
+        "doc_id",
+        F.when(F.substring("payload", 1, 2) == F.lit(b"BM"), "bmp")
+        .when(F.substring("payload", 1, 4) == F.lit(b"\x89PNG"), "png")
+        .when(F.substring("payload", 1, 4) == F.lit(b"GIF8"), "gif")
+        .otherwise("unknown")
+        .alias("codec"),
+    )
+    return (
+        stats_orig.join(stats_cut, "doc_id")
+        .join(lum, "doc_id")
+        .join(codec, "doc_id")
+    )
 
 
 DOCS_BMP_PIXELS_SQL = """
@@ -2887,7 +3028,8 @@ SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(crop.sum_r AS BIGINT) AS sum_r, CAST(crop.sum_g AS BIGINT) AS sum_g,
        CAST(crop.sum_b AS BIGINT) AS sum_b, CAST(crop.alpha_n AS BIGINT) AS alpha_n,
        CAST(lum.lum_millisum AS BIGINT) AS lum_millisum,
-       CAST(lum.n_px AS BIGINT) AS n_px
+       CAST(lum.n_px AS BIGINT) AS n_px,
+       CASE d.doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'gif' END AS codec
 FROM d JOIN crop USING (doc_id) JOIN rs USING (doc_id) JOIN lum USING (doc_id)
 """
 
