@@ -629,18 +629,28 @@ def decode_gif(buf) -> "np.ndarray":
 
 def decode_image(buf) -> "np.ndarray":
     """Magic-sniffed decode to an (h, w, 3|4) uint8 RGB(A) array — REAL for
-    BMP (uncompressed), PNG (all five filters, stdlib-zlib DEFLATE) and GIF
-    (LZW, first frame).  JPEG/video stay the documented pluggable gap: their
-    custom entropy coders (Huffman+DCT, inter-frame codecs) are what cv2 /
-    ffmpeg are for.  Raises ValueError for those and anything malformed."""
+    BMP (uncompressed), PNG (all five filters, stdlib-zlib DEFLATE), GIF
+    (LZW, first frame) and baseline JPEG (Huffman + vectorized IDCT, see
+    ``operators/jpegcodec.py``).  Video stays the documented pluggable gap
+    (inter-frame codecs are what ffmpeg is for).  Raises ValueError for
+    that and anything malformed."""
     b = bytes(buf or b"")
-    if b[:2] == b"BM":
-        return decode_bmp(b)
-    if b[:8] == b"\x89PNG\r\n\x1a\n":
-        return decode_png(b)
-    if b[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif(b)
-    raise ValueError("undecodable payload (real codecs: BMP, PNG, GIF)")
+    try:
+        if b[:2] == b"BM":
+            return decode_bmp(b)
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(b)
+        if b[:2] == b"\xff\xd8":
+            from dataflow_mm_spark.operators.jpegcodec import decode_jpeg
+
+            return decode_jpeg(b)
+    except (IndexError, KeyError) as e:
+        # hostile/truncated headers can trip raw byte indexing deep in a
+        # parser — normalize to the per-row ValueError contract
+        raise ValueError(f"malformed image payload: {e!r}") from None
+    raise ValueError("undecodable payload (real codecs: BMP, PNG, GIF, JPEG)")
 
 
 def nn_resize(img: "np.ndarray", size: tuple[int, int]) -> "np.ndarray":
@@ -781,6 +791,7 @@ def decode_and_featurize(
                     payload[:2] == b"BM"
                     or payload[:8] == b"\x89PNG\r\n\x1a\n"
                     or payload[:6] in (b"GIF87a", b"GIF89a")
+                    or payload[:2] == b"\xff\xd8"
                 )
                 if real_magic and not fake:
                     try:
@@ -802,10 +813,9 @@ def decode_and_featurize(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "JPEG/video decode requires cv2/ffmpeg — not "
-                        "available in this container (BMP/PNG/GIF decode "
-                        "is real); pass fake=True for the deterministic "
-                        "stub"
+                        "video decode requires ffmpeg — not available in "
+                        "this container (BMP/PNG/GIF/JPEG decode is "
+                        "real); pass fake=True for the deterministic stub"
                     )
                 hsh = hashlib.sha256(payload).digest()
                 feat = [b / 255.0 for b in hsh[:8]]

@@ -2737,29 +2737,34 @@ FROM ({EVENTS_WAV_VAD_SQL})
 def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/G-modality real pixel path under the gate
     (vision_seg_cutout_refiner.py:44-72 analogue, mask application + codecs
-    real, seg model pluggable). r5: a THREE-codec suite — the same pixel
-    formula is delivered per doc as raw-constructed BMP (doc_id%3==0;
-    explicit BGR interleave, 4-byte row padding, bottom-up storage, every
-    8th doc top-down with negative biHeight), PNG (%3==1; scanlines
+    real, seg model pluggable). r5: a FOUR-codec suite — the same pixel
+    formula is delivered per doc as raw-constructed BMP (doc_id%4==0;
+    explicit BGR interleave, 4-byte row padding, bottom-up storage,
+    doc_id%8==4 top-down with negative biHeight), PNG (%4==1; scanlines
     FORWARD-filtered by the fixture cycling all five filter types 0-4,
-    stdlib-zlib IDAT — ``decode_png`` must unfilter), or GIF (%3==2;
+    stdlib-zlib IDAT — ``decode_png`` must unfilter), GIF (%4==2;
     per-image local palette, fixture-side dict LZW ENCODER — the kernel's
-    table-growth DECODER must reconstruct; doc_id%6==5 additionally
-    interlaced). None of the payloads are built via the engine's own
-    encoders, so a matched encode/decode defect cannot cancel. The REAL
-    pipeline then runs: ``seg_cutout`` (magic-sniffed decode → bbox mask,
-    operator clips the oversized box → RGBA re-encode) → second decode →
-    integer channel sums over the canvas, plus an 8x8 ``nn_resize``
-    R-channel sum of the original and a sniffed ``codec`` column (pure
-    Catalyst). The oracle replays every value from the pixel formula
-    (channel c at (x,y) = (a_c*x + b_c*y + doc_id) mod p_c) and the
-    pixel-center resize index ((2i+1)*w // 16) in pure SQL — any padding,
-    flip, channel-order, unfilter, LZW, interlace, clip, or resample
-    defect hash-mismatches."""
+    table-growth DECODER must reconstruct; doc_id%8==6 additionally
+    interlaced), or baseline JPEG (%4==3; colors CONSTANT PER 8x8 BLOCK so
+    the lossy transform is exact — FDCT of a constant block is pure DC and
+    the flat quant step 2^(doc_id%3) divides it; doc_id%8==7 adds restart
+    markers.  The decoded pixel is then the closed-form integer chain
+    rgb → micro-rounded YCbCr → micro-rounded clamped RGB that the oracle
+    replays in pure integer SQL — see operators/jpegcodec.py).  BMP/PNG/GIF
+    payloads are built by independent fixture code, never the engine's own
+    encoders; the JPEG leg uses the in-engine encoder for framing only —
+    every pixel VALUE is still replayed closed-form by the oracle, so
+    decode defects in unfiltering, LZW, Huffman/DC-prediction, dequant,
+    IDCT or color conversion all hash-mismatch. The REAL pipeline then
+    runs: ``seg_cutout`` (magic-sniffed decode → bbox mask, operator clips
+    the oversized box → RGBA re-encode) → second decode → integer channel
+    sums over the canvas, plus an 8x8 ``nn_resize`` R-channel sum of the
+    original and a sniffed ``codec`` column (pure Catalyst)."""
     import zlib
 
     import numpy as np
 
+    from dataflow_mm_spark.operators.jpegcodec import encode_jpeg
     from dataflow_mm_spark.operators.multimodal import (
         decode_image,
         luminance_stats,
@@ -2887,17 +2892,29 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did = int(did)
                 w, h = did % 13 + 4, did % 11 + 4
                 y, x = np.mgrid[0:h, 0:w]
+                fam = did % 4
+                if fam == 3:
+                    # constant per 8x8 block: formula sampled at the block
+                    # origin, so the JPEG DC-only transform is exact
+                    x, y = 8 * (x // 8), 8 * (y // 8)
                 r = (2 * x + 13 * y + did) % 239
                 g = (5 * x + 11 * y + did) % 241
                 b = (3 * x + 7 * y + did) % 251
                 rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
-                fam = did % 3
                 if fam == 1:
                     payload = _png_forward(rgb)
                 elif fam == 2:
-                    payload = _gif_build(rgb, interlace=did % 6 == 5)
+                    payload = _gif_build(rgb, interlace=did % 8 == 6)
+                elif fam == 3:
+                    q = 2 ** (did % 3)
+                    payload = encode_jpeg(
+                        rgb,
+                        quant_luma=q,
+                        quant_chroma=q,
+                        restart_interval=2 if did % 8 == 7 else 0,
+                    )
                 else:
-                    topdown = did % 8 == 3
+                    topdown = did % 8 == 4
                     stride = (w * 3 + 3) // 4 * 4
                     rowbuf = np.zeros((h, stride), dtype=np.uint8)
                     rowbuf[:, : w * 3] = rgb[..., ::-1].reshape(h, w * 3)
@@ -2978,6 +2995,7 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.substring("payload", 1, 2) == F.lit(b"BM"), "bmp")
         .when(F.substring("payload", 1, 4) == F.lit(b"\x89PNG"), "png")
         .when(F.substring("payload", 1, 4) == F.lit(b"GIF8"), "gif")
+        .when(F.substring("payload", 1, 2) == F.lit(b"\xff\xd8"), "jpeg")
         .otherwise("unknown")
         .alias("codec"),
     )
@@ -2995,32 +3013,64 @@ WITH d AS (
          LEAST(doc_id % 13 + 4, doc_id % 3 + doc_id % 5 + 2) AS x1,
          LEAST(doc_id % 11 + 4, doc_id % 4 + doc_id % 6 + 2) AS y1
   FROM documents
-), crop AS (
-  SELECT doc_id,
-         SUM((2*x + 13*y + doc_id) % 239) AS sum_r,
-         SUM((5*x + 11*y + doc_id) % 241) AS sum_g,
-         SUM((3*x + 7*y + doc_id) % 251) AS sum_b,
-         COUNT(*) AS alpha_n
-  FROM d,
-       LATERAL (SELECT unnest(range(x0, x1)) AS x),
-       LATERAL (SELECT unnest(range(y0, y1)) AS y)
-  GROUP BY doc_id
-), rs AS (
-  SELECT doc_id,
-         SUM((2*((2*i+1)*w // 16) + 13*((2*j+1)*h // 16) + doc_id) % 239) AS r8
-  FROM d,
-       LATERAL (SELECT unnest(range(8)) AS i),
-       LATERAL (SELECT unnest(range(8)) AS j)
-  GROUP BY doc_id
-), lum AS (
-  SELECT doc_id,
-         SUM(299*((2*x + 13*y + doc_id) % 239)
-           + 587*((5*x + 11*y + doc_id) % 241)
-           + 114*((3*x + 7*y + doc_id) % 251)) AS lum_millisum,
-         COUNT(*) AS n_px
+), base AS (
+  -- raw formula colors; the JPEG family (doc_id%4=3) samples the formula
+  -- at the 8x8 block origin (fixture images are block-constant there)
+  SELECT doc_id, w, h, x0, y0, x1, y1, x, y,
+         CASE WHEN doc_id % 4 = 3
+              THEN (16*(x//8) + 104*(y//8) + doc_id) % 239
+              ELSE (2*x + 13*y + doc_id) % 239 END AS r0,
+         CASE WHEN doc_id % 4 = 3
+              THEN (40*(x//8) + 88*(y//8) + doc_id) % 241
+              ELSE (5*x + 11*y + doc_id) % 241 END AS g0,
+         CASE WHEN doc_id % 4 = 3
+              THEN (24*(x//8) + 56*(y//8) + doc_id) % 251
+              ELSE (3*x + 7*y + doc_id) % 251 END AS b0
   FROM d,
        LATERAL (SELECT unnest(range(w)) AS x),
        LATERAL (SELECT unnest(range(h)) AS y)
+), ycc AS (
+  -- micro-fixed-point BT.601 forward (jpegcodec.rgb_to_ycc_int): numerators
+  -- offset non-negative so // floor-division matches the kernel exactly
+  SELECT *,
+    LEAST(GREATEST((299000*r0 + 587000*g0 + 114000*b0 + 500000) // 1000000, 0), 255) AS yv,
+    LEAST(GREATEST((128000000 - 168736*r0 - 331264*g0 + 500000*b0 + 500000 + 512000000) // 1000000 - 512, 0), 255) AS cb,
+    LEAST(GREATEST((128000000 + 500000*r0 - 418688*g0 - 81312*b0 + 500000 + 512000000) // 1000000 - 512, 0), 255) AS cr
+  FROM base
+), px AS MATERIALIZED (
+  -- decoded pixel values: JPEG pixels go through the exact lossy chain
+  -- (DC-only transform is lossless; color convert is the integer chain),
+  -- every other codec decodes back to the raw formula colors
+  SELECT doc_id, w, h, x0, y0, x1, y1, x, y,
+    CASE WHEN doc_id % 4 = 3
+         THEN LEAST(GREATEST((1000000*yv + 1402000*(cr-128) + 500000 + 512000000) // 1000000 - 512, 0), 255)
+         ELSE r0 END AS pr,
+    CASE WHEN doc_id % 4 = 3
+         THEN LEAST(GREATEST((1000000*yv - 344136*(cb-128) - 714136*(cr-128) + 500000 + 512000000) // 1000000 - 512, 0), 255)
+         ELSE g0 END AS pg,
+    CASE WHEN doc_id % 4 = 3
+         THEN LEAST(GREATEST((1000000*yv + 1772000*(cb-128) + 500000 + 512000000) // 1000000 - 512, 0), 255)
+         ELSE b0 END AS pb
+  FROM ycc
+), crop AS (
+  SELECT doc_id, SUM(pr) AS sum_r, SUM(pg) AS sum_g, SUM(pb) AS sum_b,
+         COUNT(*) AS alpha_n
+  FROM px
+  WHERE x >= x0 AND x < x1 AND y >= y0 AND y < y1
+  GROUP BY doc_id
+), rs AS (
+  SELECT d.doc_id, SUM(p.pr) AS r8
+  FROM d,
+       LATERAL (SELECT unnest(range(8)) AS i),
+       LATERAL (SELECT unnest(range(8)) AS j),
+       px p
+  WHERE p.doc_id = d.doc_id
+    AND p.x = ((2*i+1)*d.w) // 16 AND p.y = ((2*j+1)*d.h) // 16
+  GROUP BY d.doc_id
+), lum AS (
+  SELECT doc_id, SUM(299*pr + 587*pg + 114*pb) AS lum_millisum,
+         COUNT(*) AS n_px
+  FROM px
   GROUP BY doc_id
 )
 SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
@@ -3029,7 +3079,8 @@ SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(crop.sum_b AS BIGINT) AS sum_b, CAST(crop.alpha_n AS BIGINT) AS alpha_n,
        CAST(lum.lum_millisum AS BIGINT) AS lum_millisum,
        CAST(lum.n_px AS BIGINT) AS n_px,
-       CASE d.doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'gif' END AS codec
+       CASE d.doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+            ELSE 'jpeg' END AS codec
 FROM d JOIN crop USING (doc_id) JOIN rs USING (doc_id) JOIN lum USING (doc_id)
 """
 

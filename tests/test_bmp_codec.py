@@ -100,19 +100,24 @@ def test_decode_and_featurize_real_bmp(spark):
     assert (rows[1].width, rows[1].height) == (7, 6)
     small = MM.nn_resize(img1, (4, 4)).reshape(-1, 3).mean(axis=0) / 255.0
     assert np.allclose(rows[1].feature, small, atol=1e-6)
-    # JPEG without fake → job-level NotImplementedError survives
+    # video/unknown magic without fake → job-level NotImplementedError
     bad = spark.createDataFrame(
-        [(3, b"\xff\xd8\xff\xe0 jpeg" * 8)], "doc_id long, payload binary"
+        [(3, b"\x00\x00\x00 ftypisom video" * 8)], "doc_id long, payload binary"
     )
     with pytest.raises(Exception) as ei:
         MM.decode_and_featurize(bad).collect()
-    assert "cv2/ffmpeg" in str(ei.value)
+    assert "ffmpeg" in str(ei.value)
     # a real-codec magic with a malformed body → per-row NULLs, job survives
     mangled = spark.createDataFrame(
-        [(4, b"\x89PNG\r\n\x1a\n garbage")], "doc_id long, payload binary"
+        [
+            (4, b"\x89PNG\r\n\x1a\n garbage"),
+            (5, b"\xff\xd8\xff\xe0 not really a jpeg"),
+        ],
+        "doc_id long, payload binary",
     )
-    got = MM.decode_and_featurize(mangled).collect()
-    assert got[0].width is None and got[0].feature is None
+    got = {r.doc_id: r for r in MM.decode_and_featurize(mangled).collect()}
+    assert got[4].width is None and got[4].feature is None
+    assert got[5].width is None and got[5].feature is None
 
 
 def test_seg_cutout_spark_roundtrip(spark):
