@@ -172,6 +172,39 @@ def _mp4_tkhd_dims(buf) -> tuple[int, int] | None:
             return None
 
 
+def _avi_avih_dims(buf) -> tuple[int, int] | None:
+    """Bounded RIFF walk over an AVI *prefix*: dims live in the ``avih``
+    main header inside ``LIST hdrl``, which by the AVI spec precedes the
+    frame data — a 64KB prefix always contains it.  Tolerates truncation
+    (returns None instead of raising; the full-file contract is
+    ``operators/video.py:parse_avi``)."""
+    if buf is None:
+        return None
+    b = bytes(buf)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    i, hi = 12, len(b)
+    stack = []
+    while True:
+        if i + 8 > hi:
+            if stack:
+                i, hi = stack.pop()
+                continue
+            return None
+        fourcc = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        nxt = i + 8 + size + (size & 1)
+        if fourcc == b"LIST" and b[i + 8 : i + 12] == b"hdrl":
+            stack.append((nxt, hi))
+            i, hi = i + 12, min(nxt, hi)
+            continue
+        if fourcc == b"avih" and size >= 40 and i + 48 <= hi:
+            w = int.from_bytes(b[i + 40 : i + 44], "little")
+            h = int.from_bytes(b[i + 44 : i + 48], "little")
+            return (w, h) if w and h else None
+        i = nxt
+
+
 def _jpeg_dims_udf():
     @F.pandas_udf("struct<width:int,height:int>")
     def media_dims(prefix: pd.Series) -> pd.DataFrame:
@@ -180,6 +213,8 @@ def _jpeg_dims_udf():
             d = _jpeg_sof_dims(b)
             if d is None and b is not None and bytes(b[4:8]) == b"ftyp":
                 d = _mp4_tkhd_dims(b)
+            if d is None and b is not None and bytes(b[:4]) == b"RIFF":
+                d = _avi_avih_dims(b)
             dims.append(d)
         return pd.DataFrame(
             {
@@ -215,12 +250,17 @@ def with_asset_meta(
     is_gif = F.substring(b, 1, 4) == b"GIF8"
     is_bmp = F.substring(b, 1, 2) == b"BM"
     is_mp4 = F.substring(b, 5, 4) == b"ftyp"
+    is_avi = (F.substring(b, 1, 4) == b"RIFF") & (F.substring(b, 9, 4) == b"AVI ")
     mime = (
         F.when(is_jpg, "image/jpeg")
         .when(is_png, "image/png")
         .when(is_gif, "image/gif")
         .when(is_bmp, "image/bmp")
         .when(is_mp4, "video/mp4")
+        .when(
+            (F.substring(b, 1, 4) == b"RIFF") & (F.substring(b, 9, 4) == b"AVI "),
+            "video/x-msvideo",
+        )
         .when(F.substring(b, 1, 4) == b"RIFF", "audio/wav")
         .otherwise("application/octet-stream")
     )
@@ -231,9 +271,9 @@ def with_asset_meta(
         # prefixes cross Arrow — everything else is NULL. MP4 gets a 256KB
         # prefix (the moov box of a faststart file), JPEG 64KB.
         jd = _jpeg_dims_udf()(
-            F.when(is_jpg & long_enough, F.substring(b, 1, 65536)).when(
-                is_mp4 & long_enough, F.substring(b, 1, 262144)
-            )
+            F.when(is_jpg & long_enough, F.substring(b, 1, 65536))
+            .when(is_mp4 & long_enough, F.substring(b, 1, 262144))
+            .when(is_avi & long_enough, F.substring(b, 1, 65536))
         )
     else:
         jd = F.lit(None).cast("struct<width:int,height:int>")
@@ -243,7 +283,7 @@ def with_asset_meta(
         F.when(is_png & long_enough, _be_int(b, 17, 4))
         .when(is_gif & long_enough, _le_int16(b, 7))
         .when(is_bmp & long_enough, F.abs(_le_int32_signed(b, 19)))
-        .when((is_jpg | is_mp4) & long_enough, jdc.getField("width"))
+        .when((is_jpg | is_mp4 | is_avi) & long_enough, jdc.getField("width"))
         .otherwise(F.lit(None).cast("int"))
     )
     # BMP: negative height = top-down row order; pixel height is |biHeight|
@@ -251,7 +291,7 @@ def with_asset_meta(
         F.when(is_png & long_enough, _be_int(b, 21, 4))
         .when(is_gif & long_enough, _le_int16(b, 9))
         .when(is_bmp & long_enough, F.abs(_le_int32_signed(b, 23)))
-        .when((is_jpg | is_mp4) & long_enough, jdc.getField("height"))
+        .when((is_jpg | is_mp4 | is_avi) & long_enough, jdc.getField("height"))
         .otherwise(F.lit(None).cast("int"))
     )
     return df.withColumn(
@@ -631,9 +671,11 @@ def decode_image(buf) -> "np.ndarray":
     """Magic-sniffed decode to an (h, w, 3|4) uint8 RGB(A) array — REAL for
     BMP (uncompressed), PNG (all five filters, stdlib-zlib DEFLATE), GIF
     (LZW, first frame) and baseline JPEG (Huffman + vectorized IDCT, see
-    ``operators/jpegcodec.py``).  Video stays the documented pluggable gap
-    (inter-frame codecs are what ffmpeg is for).  Raises ValueError for
-    that and anything malformed."""
+    ``operators/jpegcodec.py``).  An AVI/MJPEG video decodes to its FIRST
+    frame (same convention as multi-frame GIF; full-sequence access is
+    ``operators/video.py``).  Inter-frame video codecs stay the documented
+    pluggable gap (what ffmpeg is for).  Raises ValueError for that and
+    anything malformed."""
     b = bytes(buf or b"")
     try:
         if b[:2] == b"BM":
@@ -646,11 +688,17 @@ def decode_image(buf) -> "np.ndarray":
             from dataflow_mm_spark.operators.jpegcodec import decode_jpeg
 
             return decode_jpeg(b)
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            from dataflow_mm_spark.operators.video import decode_avi
+
+            return decode_avi(b, [0])[0]
     except (IndexError, KeyError) as e:
         # hostile/truncated headers can trip raw byte indexing deep in a
         # parser — normalize to the per-row ValueError contract
         raise ValueError(f"malformed image payload: {e!r}") from None
-    raise ValueError("undecodable payload (real codecs: BMP, PNG, GIF, JPEG)")
+    raise ValueError(
+        "undecodable payload (real codecs: BMP, PNG, GIF, JPEG, AVI/MJPEG)"
+    )
 
 
 def nn_resize(img: "np.ndarray", size: tuple[int, int]) -> "np.ndarray":
@@ -792,6 +840,7 @@ def decode_and_featurize(
                     or payload[:8] == b"\x89PNG\r\n\x1a\n"
                     or payload[:6] in (b"GIF87a", b"GIF89a")
                     or payload[:2] == b"\xff\xd8"
+                    or (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ")
                 )
                 if real_magic and not fake:
                     try:
@@ -813,9 +862,10 @@ def decode_and_featurize(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "video decode requires ffmpeg — not available in "
-                        "this container (BMP/PNG/GIF/JPEG decode is "
-                        "real); pass fake=True for the deterministic stub"
+                        "inter-frame video decode requires ffmpeg — not "
+                        "available in this container (BMP/PNG/GIF/JPEG and "
+                        "AVI/MJPEG decode is real); pass fake=True for the "
+                        "deterministic stub"
                     )
                 hsh = hashlib.sha256(payload).digest()
                 feat = [b / 255.0 for b in hsh[:8]]
