@@ -2737,29 +2737,38 @@ FROM ({EVENTS_WAV_VAD_SQL})
 def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/G-modality real pixel path under the gate
     (vision_seg_cutout_refiner.py:44-72 analogue, mask application + codecs
-    real, seg model pluggable). r5: a FOUR-codec suite — the same pixel
-    formula is delivered per doc as raw-constructed BMP (doc_id%4==0;
+    real, seg model pluggable). r5: a FIVE-codec suite — the same pixel
+    formula is delivered per doc as raw-constructed BMP (doc_id%5==0;
     explicit BGR interleave, 4-byte row padding, bottom-up storage,
-    doc_id%8==4 top-down with negative biHeight), PNG (%4==1; scanlines
+    doc_id%8==4 top-down with negative biHeight), PNG (%5==1; scanlines
     FORWARD-filtered by the fixture cycling all five filter types 0-4,
-    stdlib-zlib IDAT — ``decode_png`` must unfilter), GIF (%4==2;
+    stdlib-zlib IDAT — ``decode_png`` must unfilter), GIF (%5==2;
     per-image local palette, fixture-side dict LZW ENCODER — the kernel's
     table-growth DECODER must reconstruct; doc_id%8==6 additionally
-    interlaced), or baseline JPEG (%4==3; colors CONSTANT PER 8x8 BLOCK so
+    interlaced), baseline JPEG (%5==3; colors CONSTANT PER 8x8 BLOCK so
     the lossy transform is exact — FDCT of a constant block is pure DC and
     the flat quant step 2^(doc_id%3) divides it; doc_id%8==7 adds restart
     markers.  The decoded pixel is then the closed-form integer chain
     rgb → micro-rounded YCbCr → micro-rounded clamped RGB that the oracle
-    replays in pure integer SQL — see operators/jpegcodec.py).  BMP/PNG/GIF
+    replays in pure integer SQL — see operators/jpegcodec.py), or an
+    AVI/MJPEG VIDEO (%5==4; ``doc_id%3+2`` block-constant frames, frame f
+    seeded ``doc_id + 257*f`` through the same exact JPEG chain, muxed by
+    the fixture AVI writer with rate ``12000+(doc_id%7)*1000``/1000 —
+    ``operators/video.py`` must walk the RIFF container, read dims/fps
+    from avih/strh and decode every frame; the whole-video integer motion
+    score Σ|Δlum₁₀₀₀| is replayed by a frame self-join in SQL, and the
+    image pipeline below sees the video as its FIRST frame).  BMP/PNG/GIF
     payloads are built by independent fixture code, never the engine's own
-    encoders; the JPEG leg uses the in-engine encoder for framing only —
+    encoders; the JPEG/AVI legs use the in-engine encoder for framing only —
     every pixel VALUE is still replayed closed-form by the oracle, so
     decode defects in unfiltering, LZW, Huffman/DC-prediction, dequant,
-    IDCT or color conversion all hash-mismatch. The REAL pipeline then
-    runs: ``seg_cutout`` (magic-sniffed decode → bbox mask, operator clips
-    the oversized box → RGBA re-encode) → second decode → integer channel
-    sums over the canvas, plus an 8x8 ``nn_resize`` R-channel sum of the
-    original and a sniffed ``codec`` column (pure Catalyst)."""
+    IDCT, color conversion, container walk or frame ordering all
+    hash-mismatch. The REAL pipeline then runs: ``seg_cutout``
+    (magic-sniffed decode → bbox mask, operator clips the oversized box →
+    RGBA re-encode) → second decode → integer channel sums over the
+    canvas, plus an 8x8 ``nn_resize`` R-channel sum of the original, a
+    sniffed ``codec`` column (pure Catalyst) and ``video_frame_stats``
+    (n_frames / header fps_millis / motion_millisum; stills read (1,0,0))."""
     import zlib
 
     import numpy as np
@@ -2770,6 +2779,10 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         luminance_stats,
         nn_resize,
         seg_cutout,
+    )
+    from dataflow_mm_spark.operators.video import (
+        encode_avi_mjpeg,
+        video_frame_stats,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -2892,8 +2905,8 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did = int(did)
                 w, h = did % 13 + 4, did % 11 + 4
                 y, x = np.mgrid[0:h, 0:w]
-                fam = did % 4
-                if fam == 3:
+                fam = did % 5
+                if fam in (3, 4):
                     # constant per 8x8 block: formula sampled at the block
                     # origin, so the JPEG DC-only transform is exact
                     x, y = 8 * (x // 8), 8 * (y // 8)
@@ -2912,6 +2925,37 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                         quant_luma=q,
                         quant_chroma=q,
                         restart_interval=2 if did % 8 == 7 else 0,
+                    )
+                elif fam == 4:
+                    # MJPEG video: frame f re-runs the block-origin formula
+                    # with seed did + 257*f (frame 0 == the JPEG family's
+                    # pixels), muxed into a real AVI container
+                    q = 2 ** (did % 3)
+                    frames = []
+                    for fidx in range(did % 3 + 2):
+                        seed = did + 257 * fidx
+                        fr = np.stack(
+                            [
+                                (2 * x + 13 * y + seed) % 239,
+                                (5 * x + 11 * y + seed) % 241,
+                                (3 * x + 7 * y + seed) % 251,
+                            ],
+                            axis=-1,
+                        ).astype(np.uint8)
+                        frames.append(
+                            encode_jpeg(
+                                fr,
+                                quant_luma=q,
+                                quant_chroma=q,
+                                restart_interval=2 if did % 8 == 7 else 0,
+                            )
+                        )
+                    payload = encode_avi_mjpeg(
+                        frames,
+                        width=w,
+                        height=h,
+                        rate=12000 + (did % 7) * 1000,
+                        scale=1000,
                     )
                 else:
                     topdown = did % 8 == 4
@@ -2996,13 +3040,24 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.substring("payload", 1, 4) == F.lit(b"\x89PNG"), "png")
         .when(F.substring("payload", 1, 4) == F.lit(b"GIF8"), "gif")
         .when(F.substring("payload", 1, 2) == F.lit(b"\xff\xd8"), "jpeg")
+        .when(
+            (F.substring("payload", 1, 4) == F.lit(b"RIFF"))
+            & (F.substring("payload", 9, 4) == F.lit(b"AVI ")),
+            "avi",
+        )
         .otherwise("unknown")
         .alias("codec"),
+    )
+    # real container walk: n_frames + fps read back from avih/strh, motion
+    # from per-frame decode; stills report (1, 0, 0)
+    vstats = video_frame_stats(src).select(
+        "doc_id", "n_frames", "fps_millis", "motion_millisum"
     )
     return (
         stats_orig.join(stats_cut, "doc_id")
         .join(lum, "doc_id")
         .join(codec, "doc_id")
+        .join(vstats, "doc_id")
     )
 
 
@@ -3011,24 +3066,28 @@ WITH d AS (
   SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h,
          doc_id % 3 AS x0, doc_id % 4 AS y0,
          LEAST(doc_id % 13 + 4, doc_id % 3 + doc_id % 5 + 2) AS x1,
-         LEAST(doc_id % 11 + 4, doc_id % 4 + doc_id % 6 + 2) AS y1
+         LEAST(doc_id % 11 + 4, doc_id % 4 + doc_id % 6 + 2) AS y1,
+         CASE WHEN doc_id % 5 = 4 THEN doc_id % 3 + 2 ELSE 1 END AS nf
   FROM documents
 ), base AS (
-  -- raw formula colors; the JPEG family (doc_id%4=3) samples the formula
-  -- at the 8x8 block origin (fixture images are block-constant there)
-  SELECT doc_id, w, h, x0, y0, x1, y1, x, y,
-         CASE WHEN doc_id % 4 = 3
-              THEN (16*(x//8) + 104*(y//8) + doc_id) % 239
+  -- raw formula colors; the JPEG/AVI families (doc_id%5 IN (3,4)) sample
+  -- the formula at the 8x8 block origin (fixture frames are
+  -- block-constant there); AVI frame f is seeded doc_id + 257*f, stills
+  -- are the single frame f = 0
+  SELECT doc_id, w, h, x0, y0, x1, y1, nf, x, y, f,
+         CASE WHEN doc_id % 5 IN (3, 4)
+              THEN (16*(x//8) + 104*(y//8) + doc_id + 257*f) % 239
               ELSE (2*x + 13*y + doc_id) % 239 END AS r0,
-         CASE WHEN doc_id % 4 = 3
-              THEN (40*(x//8) + 88*(y//8) + doc_id) % 241
+         CASE WHEN doc_id % 5 IN (3, 4)
+              THEN (40*(x//8) + 88*(y//8) + doc_id + 257*f) % 241
               ELSE (5*x + 11*y + doc_id) % 241 END AS g0,
-         CASE WHEN doc_id % 4 = 3
-              THEN (24*(x//8) + 56*(y//8) + doc_id) % 251
+         CASE WHEN doc_id % 5 IN (3, 4)
+              THEN (24*(x//8) + 56*(y//8) + doc_id + 257*f) % 251
               ELSE (3*x + 7*y + doc_id) % 251 END AS b0
   FROM d,
        LATERAL (SELECT unnest(range(w)) AS x),
-       LATERAL (SELECT unnest(range(h)) AS y)
+       LATERAL (SELECT unnest(range(h)) AS y),
+       LATERAL (SELECT unnest(range(nf)) AS f)
 ), ycc AS (
   -- micro-fixed-point BT.601 forward (jpegcodec.rgb_to_ycc_int): numerators
   -- offset non-negative so // floor-division matches the kernel exactly
@@ -3038,25 +3097,26 @@ WITH d AS (
     LEAST(GREATEST((128000000 + 500000*r0 - 418688*g0 - 81312*b0 + 500000 + 512000000) // 1000000 - 512, 0), 255) AS cr
   FROM base
 ), px AS MATERIALIZED (
-  -- decoded pixel values: JPEG pixels go through the exact lossy chain
+  -- decoded pixel values: JPEG/AVI pixels go through the exact lossy chain
   -- (DC-only transform is lossless; color convert is the integer chain),
   -- every other codec decodes back to the raw formula colors
-  SELECT doc_id, w, h, x0, y0, x1, y1, x, y,
-    CASE WHEN doc_id % 4 = 3
+  SELECT doc_id, w, h, x0, y0, x1, y1, x, y, f,
+    CASE WHEN doc_id % 5 IN (3, 4)
          THEN LEAST(GREATEST((1000000*yv + 1402000*(cr-128) + 500000 + 512000000) // 1000000 - 512, 0), 255)
          ELSE r0 END AS pr,
-    CASE WHEN doc_id % 4 = 3
+    CASE WHEN doc_id % 5 IN (3, 4)
          THEN LEAST(GREATEST((1000000*yv - 344136*(cb-128) - 714136*(cr-128) + 500000 + 512000000) // 1000000 - 512, 0), 255)
          ELSE g0 END AS pg,
-    CASE WHEN doc_id % 4 = 3
+    CASE WHEN doc_id % 5 IN (3, 4)
          THEN LEAST(GREATEST((1000000*yv + 1772000*(cb-128) + 500000 + 512000000) // 1000000 - 512, 0), 255)
          ELSE b0 END AS pb
   FROM ycc
 ), crop AS (
+  -- the image pipeline sees a video as its first frame
   SELECT doc_id, SUM(pr) AS sum_r, SUM(pg) AS sum_g, SUM(pb) AS sum_b,
          COUNT(*) AS alpha_n
   FROM px
-  WHERE x >= x0 AND x < x1 AND y >= y0 AND y < y1
+  WHERE f = 0 AND x >= x0 AND x < x1 AND y >= y0 AND y < y1
   GROUP BY doc_id
 ), rs AS (
   SELECT d.doc_id, SUM(p.pr) AS r8
@@ -3064,14 +3124,27 @@ WITH d AS (
        LATERAL (SELECT unnest(range(8)) AS i),
        LATERAL (SELECT unnest(range(8)) AS j),
        px p
-  WHERE p.doc_id = d.doc_id
+  WHERE p.doc_id = d.doc_id AND p.f = 0
     AND p.x = ((2*i+1)*d.w) // 16 AND p.y = ((2*j+1)*d.h) // 16
   GROUP BY d.doc_id
 ), lum AS (
   SELECT doc_id, SUM(299*pr + 587*pg + 114*pb) AS lum_millisum,
          COUNT(*) AS n_px
   FROM px
+  WHERE f = 0
   GROUP BY doc_id
+), mot AS (
+  -- whole-video integer motion: sum over consecutive frames of the
+  -- per-pixel |delta lum_1000| (operators/video.motion_millisum)
+  SELECT p1.doc_id,
+         SUM(ABS((299*p1.pr + 587*p1.pg + 114*p1.pb)
+               - (299*p0.pr + 587*p0.pg + 114*p0.pb))) AS motion
+  FROM px p1
+  JOIN px p0
+    ON p0.doc_id = p1.doc_id AND p0.x = p1.x AND p0.y = p1.y
+   AND p0.f = p1.f - 1
+  WHERE p1.f >= 1
+  GROUP BY p1.doc_id
 )
 SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(rs.r8 AS BIGINT) AS r8,
@@ -3079,9 +3152,14 @@ SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(crop.sum_b AS BIGINT) AS sum_b, CAST(crop.alpha_n AS BIGINT) AS alpha_n,
        CAST(lum.lum_millisum AS BIGINT) AS lum_millisum,
        CAST(lum.n_px AS BIGINT) AS n_px,
-       CASE d.doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
-            ELSE 'jpeg' END AS codec
+       CASE d.doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+            WHEN 3 THEN 'jpeg' ELSE 'avi' END AS codec,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(CASE WHEN d.doc_id % 5 = 4 THEN 12000 + (d.doc_id % 7) * 1000
+                 ELSE 0 END AS BIGINT) AS fps_millis,
+       CAST(COALESCE(mot.motion, 0) AS BIGINT) AS motion_millisum
 FROM d JOIN crop USING (doc_id) JOIN rs USING (doc_id) JOIN lum USING (doc_id)
+       LEFT JOIN mot USING (doc_id)
 """
 
 
