@@ -178,6 +178,100 @@ def encode_avi_mjpeg(
     return b"RIFF" + u32(len(riff_body)) + riff_body
 
 
+def mp4_video_info(buf) -> dict:
+    """Metadata-only ISO-BMFF walk (faststart layout, moov before mdat —
+    the streaming norm): ``width``/``height`` from the first video track's
+    ``tkhd`` (16.16 fixed), ``n_frames`` as the ``stts`` sample-count sum,
+    ``duration_millis`` from ``mdhd`` timescale/duration, and integer
+    ``fps_millis = n_frames * 1000 * timescale // duration``.  This is the
+    ``video_info_filter.py:324-336`` surface (the reference reads fps /
+    frame count / resolution via cv2.VideoCapture properties) without any
+    frame decode — inter-frame H.264/HEVC payloads stay the ffmpeg gap.
+    Raises ValueError on anything that is not an MP4 with a video track."""
+    b = bytes(buf or b"")
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (ftyp) container")
+
+    def children(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(b[i : i + 4], "big")
+            typ = b[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > hi:
+                    return
+                size = int.from_bytes(b[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = hi - i
+            if size < hdr:
+                return
+            yield typ, i + hdr, min(i + size, hi)
+            i += size
+
+    def find(lo: int, hi: int, typ: bytes):
+        for t, clo, chi in children(lo, hi):
+            if t == typ:
+                return (clo, chi)
+        return None
+
+    moov = find(0, len(b), b"moov")
+    if not moov:
+        raise ValueError("MP4 without a moov box in the parsed range")
+    for t, tlo, thi in children(*moov):
+        if t != b"trak":
+            continue
+        tkhd = find(tlo, thi, b"tkhd")
+        if not tkhd:
+            continue
+        klo, khi = tkhd
+        ver = b[klo]
+        off = klo + (88 if ver == 1 else 76)
+        if off + 8 > khi:
+            continue
+        w = int.from_bytes(b[off : off + 4], "big") >> 16
+        h = int.from_bytes(b[off + 4 : off + 8], "big") >> 16
+        if not (w and h):
+            continue  # audio track (0x0) — keep scanning
+        mdia = find(tlo, thi, b"mdia")
+        if not mdia:
+            raise ValueError("video trak without mdia")
+        mdhd = find(*mdia, b"mdhd")
+        if not mdhd:
+            raise ValueError("video trak without mdhd")
+        mlo, mhi = mdhd
+        mver = b[mlo]
+        if mver == 1:
+            timescale = int.from_bytes(b[mlo + 20 : mlo + 24], "big")
+            duration = int.from_bytes(b[mlo + 24 : mlo + 32], "big")
+        else:
+            timescale = int.from_bytes(b[mlo + 12 : mlo + 16], "big")
+            duration = int.from_bytes(b[mlo + 16 : mlo + 20], "big")
+        minf = find(*mdia, b"minf")
+        stbl = find(*minf, b"stbl") if minf else None
+        stts = find(*stbl, b"stts") if stbl else None
+        n_frames = 0
+        if stts:
+            slo, shi = stts
+            n_entries = int.from_bytes(b[slo + 4 : slo + 8], "big")
+            for e in range(n_entries):
+                eo = slo + 8 + 8 * e
+                if eo + 8 > shi:
+                    raise ValueError("truncated stts")
+                n_frames += int.from_bytes(b[eo : eo + 4], "big")
+        if not (timescale and duration):
+            raise ValueError("mdhd without timescale/duration")
+        return {
+            "width": w,
+            "height": h,
+            "n_frames": n_frames,
+            "duration_millis": duration * 1000 // timescale,
+            "fps_millis": n_frames * 1000 * timescale // duration,
+        }
+    raise ValueError("MP4 contains no video track with nonzero dims")
+
+
 def _lum_milli(img) -> "object":
     import numpy as np
 
@@ -212,11 +306,14 @@ def video_frame_stats(
 ) -> DataFrame:
     """Per-asset frame statistics over a mixed image/video binary column:
     ``n_frames`` / ``fps_millis`` / ``motion_millisum`` (all int64).  AVI
-    payloads run the real container walk + per-frame MJPEG decode; still
-    images (any of the four real codecs) are single-frame videos —
-    ``(1, 0, 0)``.  Malformed payloads yield NULL stats + an error string,
-    never a job failure (``video_info_filter.py`` analogue: the reference
-    drops unreadable assets row-wise)."""
+    payloads run the real container walk + per-frame MJPEG decode; MP4
+    payloads get real metadata (``mp4_video_info`` — n_frames/fps from the
+    moov walk) with NULL motion and the ffmpeg-gap note in ``error``
+    (inter-frame decode is out of scope); still images (any of the four
+    real codecs) are single-frame videos — ``(1, 0, 0)``.  Malformed
+    payloads yield NULL stats + an error string, never a job failure
+    (``video_info_filter.py`` analogue: the reference drops unreadable
+    assets row-wise)."""
     dts = dict(df.dtypes)
     ids_schema = ", ".join(f"{c} {dts[c]}" for c in id_cols)
     schema = (
@@ -235,12 +332,21 @@ def video_frame_stats(
                         nf.append(info["n_frames"])
                         fps.append(info["fps_millis"])
                         mot.append(motion_millisum(b))
+                        errs.append(None)
+                    elif b[4:8] == b"ftyp":
+                        info = mp4_video_info(b)
+                        nf.append(info["n_frames"])
+                        fps.append(info["fps_millis"])
+                        mot.append(None)
+                        errs.append(
+                            "mp4 metadata real; frame decode requires ffmpeg"
+                        )
                     else:
                         decode_image(b)  # validates it IS a decodable image
                         nf.append(1)
                         fps.append(0)
                         mot.append(0)
-                    errs.append(None)
+                        errs.append(None)
                 except ValueError as e:
                     nf.append(None)
                     fps.append(None)
@@ -259,14 +365,19 @@ def video_frame_stats(
 def sample_frames(
     df: DataFrame,
     every_n: int = 1,
+    every_millis: int | None = None,
     bin_col: str = "payload",
     id_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
     """Frame sampling for VLM prompting (W4 analogue over REAL decode):
     explode every ``every_n``-th frame of each AVI to one row with the
-    frame index, dims and integer luma sum.  Still-image payloads emit
-    their single frame as index 0.  Narrow int64 outputs only — decoded
-    pixel arrays never leave the executor."""
+    frame index, dims and integer luma sum.  ``every_millis`` switches to
+    time-based sampling (the reference samples by seconds): frame indices
+    ``k·every_millis·fps_millis // 10⁶`` for k = 0,1,… deduplicated —
+    integer arithmetic throughout so oracles can replay the index set;
+    falls back to ``every_n`` when the container carries no rate.
+    Still-image payloads emit their single frame as index 0.  Narrow
+    int64 outputs only — decoded pixel arrays never leave the executor."""
     dts = dict(df.dtypes)
     ids_schema = ", ".join(f"{c} {dts[c]}" for c in id_cols)
     schema = (
@@ -283,7 +394,21 @@ def sample_frames(
                 try:
                     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                         info = parse_avi(b)
-                        idxs = list(range(0, info["n_frames"], every_n))
+                        if every_millis is not None and info["fps_millis"] > 0:
+                            idxs, k, seen = [], 0, set()
+                            while True:
+                                ix = (
+                                    k * every_millis * info["fps_millis"]
+                                    // 1_000_000
+                                )
+                                if ix >= info["n_frames"]:
+                                    break
+                                if ix not in seen:
+                                    seen.add(ix)
+                                    idxs.append(ix)
+                                k += 1
+                        else:
+                            idxs = list(range(0, info["n_frames"], every_n))
                         imgs = decode_avi(b, idxs)
                     else:
                         idxs, imgs = [0], [decode_image(b)]

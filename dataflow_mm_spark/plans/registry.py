@@ -634,7 +634,15 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _quality_sql(from_sql: str, id_cols: str) -> str:
     """15-rule RuleBaseFilter oracle, parameterized over the input relation
     (so the same rule body checks documents, mutated documents, and the
-    synthetic transcript turns)."""
+    synthetic transcript turns).
+
+    ``from_sql`` must be a TABLE/VIEW NAME or an ``AS MATERIALIZED`` CTE
+    name — never the raw ``({SYNTH_TURNS_SQL})`` subquery: DuckDB re-inlines
+    an inline subquery into the rule predicates even when the CTE wrapping
+    THIS query is materialized, and the md5-heavy synth then re-evaluates
+    per rule (measured r5: 17.9s / 65k peak VM maps → 0.8s / 5k with the
+    synth hoisted into its own MATERIALIZED CTE, identical value hash —
+    the 65k form broke the gate at vm.max_map_count)."""
     return (
         r"""
 WITH base AS (
@@ -1550,7 +1558,8 @@ def transcripts_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRANSCRIPTS_QUALITY_WIN_SQL = f"""
-WITH kept AS MATERIALIZED ({_quality_sql(f'({SYNTH_TURNS_SQL})', 'conv_id, ts')})
+WITH synth AS MATERIALIZED ({SYNTH_TURNS_SQL}),
+kept AS MATERIALIZED ({_quality_sql('synth', 'conv_id, ts')})
 SELECT conv_id,
        make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT)) * 300 * 1000000) AS win_start,
        make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT) + 1) * 300 * 1000000) AS win_end,
@@ -3291,7 +3300,8 @@ def transcripts_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRANSCRIPTS_STREAM_WIN_SQL = f"""
-WITH kept AS MATERIALIZED ({_quality_sql(f'({SYNTH_TURNS_SQL})', 'conv_id, ts, role')})
+WITH synth AS MATERIALIZED ({SYNTH_TURNS_SQL}),
+kept AS MATERIALIZED ({_quality_sql('synth', 'conv_id, ts, role')})
 SELECT conv_id,
        make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT)) * 300 * 1000000) AS win_start,
        make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT) + 1) * 300 * 1000000) AS win_end,

@@ -11,6 +11,10 @@ Spark-first over opaque binary asset columns:
 3. model-score threshold filter (CLIPScore/aesthetic analogue) through the
    pluggable serving fan-out — a deterministic stand-in here, a real model
    client factory in deployment;
+3c. REAL video stage: MJPEG-in-AVI clips through the RIFF container walk
+   (dims + header fps), per-frame decode, integer motion score and
+   time-based frame sampling — video_info_filter +
+   video_motion_score_filter analogues on real numbers;
 4. SimHash near-dup keep-first over captions (perceptual-hash dedup
    analogue, 60-bit md5 SimHash + pigeonhole blocking);
 5. percentile keep-ratio selection;
@@ -163,6 +167,55 @@ def main() -> None:
     aest = mlp_score(feats, "feature", head, out_col="aesthetic")
     n2b = aest.filter(F.col("aesthetic") > -10).count()
 
+    # 3c (r5). REAL video path: MJPEG-in-AVI clips for a subset — RIFF
+    # container walk (dims + header fps), per-frame baseline-JPEG decode,
+    # integer whole-clip motion score, time-based frame sampling; then the
+    # video_info + motion-score filters (video_info_filter /
+    # video_motion_score_filter analogues) run on REAL numbers.
+    from dataflow_mm_spark.operators.jpegcodec import encode_jpeg
+    from dataflow_mm_spark.operators.video import (
+        encode_avi_mjpeg,
+        sample_frames,
+        video_frame_stats,
+    )
+
+    def gen_avi(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                y, x = np.mgrid[0:8, 0:16]
+                xb, yb = 8 * (x // 8), 8 * (y // 8)
+                frames = [
+                    encode_jpeg(
+                        np.stack(
+                            [(2 * xb + 13 * yb + did + 257 * f) % 239,
+                             (5 * xb + 11 * yb + did + 257 * f) % 241,
+                             (3 * xb + 7 * yb + did + 257 * f) % 251], -1
+                        ).astype(np.uint8)
+                    )
+                    for f in range(did % 3 + 2)
+                ]
+                rows.append(
+                    (did, encode_avi_mjpeg(
+                        frames, width=16, height=8,
+                        rate=10000 + (did % 5) * 2000, scale=1000,
+                    ))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "avi"])
+
+    clips = (
+        kept.filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id")
+        .mapInPandas(gen_avi, "doc_id long, avi binary")
+    ).cache()
+    vstats = video_frame_stats(clips, bin_col="avi")
+    moving = vstats.filter(
+        (F.col("motion_millisum") > 0) & F.col("fps_millis").between(10000, 20000)
+    )
+    n2c = moving.count()
+    n2f = sample_frames(clips, every_millis=150, bin_col="avi").count()
+
     # 4. caption near-dup keep-first (SimHash, Hamming <= 8)
     pairs = simhash_neardup_pairs(
         kept.select(F.col("doc_id"), F.col("caption").alias("text")),
@@ -193,11 +246,13 @@ def main() -> None:
 
     print(
         f"assets {n0} -> sized {n1} -> scored>=0.25 {n2} "
-        f"(real-pixel BMP cutout+head scored {n2b}) -> "
+        f"(real-pixel BMP cutout+head scored {n2b}; real-video clips "
+        f"moving@10-20fps {n2c}, sampled frames {n2f}) -> "
         f"near-dup-unique {n3} -> top60% {n4} -> warehouse rows {n5}"
     )
     assert n5 == n4 > 0
     assert n2b > 0
+    assert n2c > 0 and n2f >= n2c
     spark.stop()
 
 

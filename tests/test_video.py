@@ -98,6 +98,65 @@ def test_parse_avi_hostile_inputs():
         V.decode_avi(payload, [99])               # out-of-range frame index
 
 
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def _mp4_fixture(w, h, timescale, duration, stts_entries):
+    # faststart MP4: ftyp, then moov with an AUDIO trak (0x0 tkhd — must
+    # be skipped) followed by the video trak carrying mdhd + stts
+    def tkhd(tw, th):
+        return _box(
+            b"tkhd",
+            b"\x00" * 24 + b"\x00" * 16 + b"\x00" * 36
+            + (tw << 16).to_bytes(4, "big") + (th << 16).to_bytes(4, "big"),
+        )
+
+    mdhd = _box(
+        b"mdhd",
+        b"\x00" * 12 + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+        + b"\x00" * 4,
+    )
+    stts = _box(
+        b"stts",
+        b"\x00" * 4 + len(stts_entries).to_bytes(4, "big")
+        + b"".join(
+            n.to_bytes(4, "big") + d.to_bytes(4, "big") for n, d in stts_entries
+        ),
+    )
+    mdia = _box(b"mdia", mdhd + _box(b"minf", _box(b"stbl", stts)))
+    return (
+        _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + _box(
+            b"moov",
+            _box(b"trak", tkhd(0, 0)) + _box(b"trak", tkhd(w, h) + mdia),
+        )
+        + _box(b"mdat", b"\x00" * 32)
+    )
+
+
+def test_mp4_video_info_metadata_walk():
+    # 90 frames over 3s at timescale 30000 → fps 30.000
+    mp4 = _mp4_fixture(1280, 720, 30000, 90000, [(60, 1000), (30, 1000)])
+    info = V.mp4_video_info(mp4)
+    assert (info["width"], info["height"]) == (1280, 720)
+    assert info["n_frames"] == 90
+    assert info["duration_millis"] == 3000
+    assert info["fps_millis"] == 30000
+    for bad in (b"", b"\x00\x00\x00\x08ftyp", _box(b"ftyp", b"isom")):
+        with pytest.raises(ValueError):
+            V.mp4_video_info(bad)
+
+
+def test_video_frame_stats_mp4_metadata(spark):
+    mp4 = _mp4_fixture(640, 480, 24000, 48000, [(48, 1000)])
+    df = spark.createDataFrame([(3, bytearray(mp4))], "doc_id long, payload binary")
+    row = V.video_frame_stats(df).first()
+    assert (row.n_frames, row.fps_millis) == (48, 24000)
+    assert row.motion_millisum is None
+    assert "ffmpeg" in row.error
+
+
 def test_video_frame_stats_mixed_column(spark):
     rng = np.random.default_rng(56)
     frames, avi = _make_avi(rng, n_frames=3, h=8, w=8, rate=12000)
@@ -127,6 +186,18 @@ def test_sample_frames_every_n(spark):
     for r in rows:
         assert (r.width, r.height) == (8, 8)
         assert r.lum_millisum == int(_lum(_chain(frames[r.frame_idx])).sum())
+
+
+def test_sample_frames_time_based(spark):
+    # 10 frames at 5 fps (2s of video); sample every 600ms →
+    # k·600·5000//10⁶ = 0,3,6,9 (then 12 ≥ 10 stops)
+    rng = np.random.default_rng(60)
+    frames, avi = _make_avi(rng, n_frames=10, h=8, w=8, rate=5000, scale=1000)
+    df = spark.createDataFrame([(9, bytearray(avi))], "doc_id long, payload binary")
+    rows = sorted(
+        V.sample_frames(df, every_millis=600).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in rows] == [0, 3, 6, 9]
 
 
 def test_with_asset_meta_avi_dims_and_mime(spark):
