@@ -209,6 +209,35 @@ def test_with_asset_meta_avi_dims_and_mime(spark):
     assert (meta.width, meta.height) == (48, 32)
 
 
+def test_video_frame_stats_on_structured_stream(spark, tmp_path):
+    """The video kernels are stateless mapInPandas — they must run
+    UNCHANGED on a streaming DataFrame (the north-rule shape: assets
+    arriving on a stream). availableNow drain == batch result."""
+    rng = np.random.default_rng(61)
+    rows = []
+    for k in range(4):
+        _, avi = _make_avi(rng, n_frames=k % 3 + 2, h=8, w=8, rate=10000 + k * 1000)
+        rows.append((k, bytearray(avi)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    df.repartition(2).write.parquet(inp)
+
+    stream = spark.readStream.schema(df.schema).parquet(inp)
+    q = (
+        V.video_frame_stats(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r.doc_id, r.n_frames, r.fps_millis, r.motion_millisum)  # noqa: E731
+    got = sorted(map(key, spark.read.parquet(out).collect()))
+    want = sorted(map(key, V.video_frame_stats(df).collect()))
+    assert got == want and len(got) == 4
+
+
 def test_luminance_and_cutout_pipeline_on_avi(spark):
     # the full image pipeline (decode → cutout → re-decode) runs unchanged
     # on a video payload via the first-frame convention
