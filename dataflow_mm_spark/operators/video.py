@@ -1,6 +1,8 @@
 """REAL video path in pure Python + numpy: AVI (RIFF) containers carrying
-MJPEG streams, every frame a baseline JPEG decoded by
-``operators/jpegcodec.py``.
+MJPEG streams (every frame a baseline JPEG decoded by
+``operators/jpegcodec.py``), full GIF87a/89a animations (per-frame LZW +
+the GIF89a disposal/transparency compositing model), and metadata-only
+MP4 walks (dims / frame count / duration / fps from moov).
 
 The reference loads video per row with cv2/ffmpeg — resolution gates
 (``dataflow/operators/core_vision/filter/video_info_filter.py:324-336``),
@@ -178,6 +180,123 @@ def encode_avi_mjpeg(
     return b"RIFF" + u32(len(riff_body)) + riff_body
 
 
+def gif_frames(buf) -> list:
+    """Decode EVERY frame of a GIF87a/89a animation, composited onto the
+    logical screen per the GIF89a disposal model — returns
+    ``[(delay_millis, (H, W, 3) uint8 RGB canvas), ...]``.
+
+    Semantics (all real, pure Python + numpy, reusing the engine's
+    variable-width LZW decoder): the canvas starts as the background color
+    (global-color-table[background index], black without a GCT); each
+    image descriptor draws its rect at (left, top) skipping
+    transparent-index pixels; disposal 0/1 leave the canvas, 2 restores
+    the background color over the frame rect, 3 restores the pre-frame
+    canvas.  Delay is the GCE's centiseconds × 10 (millis).  Raises
+    ValueError on malformed input (per-row contract).  The reference
+    samples GIFs via PIL ``seek`` (multimodal loaders); this is that
+    surface without PIL."""
+    import numpy as np
+
+    from dataflow_mm_spark.operators.multimodal import _gif_lzw_decode
+
+    b = bytes(buf or b"")
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    bg_idx = b[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    if sw <= 0 or sh <= 0:
+        raise ValueError("bad logical screen dimensions")
+    bg = (
+        gct[bg_idx] if gct is not None and bg_idx < gct.shape[0]
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).astype(np.uint8).copy()
+    frames: list = []
+    # pending graphic-control state for the NEXT image descriptor
+    disposal, transparent, delay_ms = 0, None, 0
+    while pos < len(b):
+        marker = b[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension
+            if pos >= len(b):
+                raise ValueError("truncated extension")
+            label = b[pos]
+            pos += 1
+            sub0 = pos
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            if label == 0xF9 and b[sub0] >= 4:  # graphic control
+                flags = b[sub0 + 1]
+                disposal = (flags >> 2) & 0x07
+                delay_ms = int.from_bytes(b[sub0 + 2 : sub0 + 4], "little") * 10
+                transparent = b[sub0 + 4] if flags & 1 else None
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+        if pos + 9 > len(b):
+            raise ValueError("truncated image descriptor")
+        left = int.from_bytes(b[pos : pos + 2], "little")
+        top = int.from_bytes(b[pos + 2 : pos + 4], "little")
+        w = int.from_bytes(b[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+        ipacked = b[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(
+                b, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        if w <= 0 or h <= 0 or left + w > sw or top + h > sh:
+            raise ValueError("frame rect outside the logical screen")
+        min_code_size = b[pos]
+        pos += 1
+        chunks = []
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            chunks.append(b[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1  # block terminator
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h).reshape(h, w)
+        if ipacked & 0x40:  # interlace
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        before = canvas.copy() if disposal == 3 else None
+        rect = canvas[top : top + h, left : left + w]
+        mask = (idx != transparent) if transparent is not None else slice(None)
+        rect[mask] = pal[idx][mask]
+        frames.append((delay_ms, canvas.copy()))
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg
+        elif disposal == 3:
+            canvas = before
+        disposal, transparent, delay_ms = 0, None, 0
+    if not frames:
+        raise ValueError("GIF contains no image")
+    return frames
+
+
 def mp4_video_info(buf) -> dict:
     """Metadata-only ISO-BMFF walk (faststart layout, moov before mdat —
     the streaming norm): ``width``/``height`` from the first video track's
@@ -306,9 +425,11 @@ def video_frame_stats(
 ) -> DataFrame:
     """Per-asset frame statistics over a mixed image/video binary column:
     ``n_frames`` / ``fps_millis`` / ``motion_millisum`` (all int64).  AVI
-    payloads run the real container walk + per-frame MJPEG decode; MP4
-    payloads get real metadata (``mp4_video_info`` — n_frames/fps from the
-    moov walk) with NULL motion and the ffmpeg-gap note in ``error``
+    payloads run the real container walk + per-frame MJPEG decode; GIF
+    animations run the full disposal/transparency compositing
+    (``gif_frames`` — delays → mean fps, motion over composited canvases);
+    MP4 payloads get real metadata (``mp4_video_info`` — n_frames/fps from
+    the moov walk) with NULL motion and the ffmpeg-gap note in ``error``
     (inter-frame decode is out of scope); still images (any of the four
     real codecs) are single-frame videos — ``(1, 0, 0)``.  Malformed
     payloads yield NULL stats + an error string, never a job failure
@@ -341,6 +462,23 @@ def video_frame_stats(
                         errs.append(
                             "mp4 metadata real; frame decode requires ffmpeg"
                         )
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        # animated GIF = a real multi-frame format too:
+                        # delays -> mean fps, motion over composited frames
+                        gfs = gif_frames(b)
+                        nf.append(len(gfs))
+                        dur = sum(d for d, _ in gfs)
+                        fps.append(
+                            len(gfs) * 1_000_000 // dur if dur > 0 else 0
+                        )
+                        total, prev = 0, None
+                        for _, img in gfs:
+                            cur = _lum_milli(img)
+                            if prev is not None:
+                                total += int(abs(cur - prev).sum())
+                            prev = cur
+                        mot.append(total)
+                        errs.append(None)
                     else:
                         decode_image(b)  # validates it IS a decodable image
                         nf.append(1)
@@ -410,6 +548,10 @@ def sample_frames(
                         else:
                             idxs = list(range(0, info["n_frames"], every_n))
                         imgs = decode_avi(b, idxs)
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        gfs = gif_frames(b)
+                        idxs = list(range(0, len(gfs), every_n))
+                        imgs = [gfs[i][1] for i in idxs]
                     else:
                         idxs, imgs = [0], [decode_image(b)]
                     for ix, img in zip(idxs, imgs):

@@ -98,6 +98,161 @@ def test_parse_avi_hostile_inputs():
         V.decode_avi(payload, [99])               # out-of-range frame index
 
 
+# --- independent animated-GIF fixture encoder (fixture-side LZW; the
+# kernel's table-growth decoder + disposal compositor are under test) ----
+
+
+def _lzw_encode(seq, mcs):
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    d = {bytes([i]): i for i in range(1 << mcs)}
+    next_code, width = eoi + 1, mcs + 1
+    bits = []
+
+    def emit(code, wdt):
+        for i in range(wdt):
+            bits.append((code >> i) & 1)
+
+    emit(clear, width)
+    s = bytes([seq[0]])
+    for k in seq[1:]:
+        cand = s + bytes([k])
+        if cand in d:
+            s = cand
+            continue
+        emit(d[s], width)
+        if next_code < 4096:
+            d[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        s = bytes([k])
+    emit(d[s], width)
+    emit(eoi, width)
+    enc = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        enc.append(byte)
+    out = bytearray([mcs])
+    for i in range(0, len(enc), 255):
+        part = enc[i : i + 255]
+        out += bytes([len(part)]) + part
+    out += b"\x00"
+    return bytes(out)
+
+
+def _anim_gif(sw, sh, gct, bg_idx, frames):
+    """frames: list of dicts {left, top, idx (h,w uint8 into gct),
+    delay_cs, disposal, transparent (or None)}."""
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    bits = max(1, (len(gct) - 1).bit_length())
+    full = list(gct) + [(0, 0, 0)] * ((1 << bits) - len(gct))
+    out += bytes([0x80 | (bits - 1), bg_idx, 0])
+    for rgb in full:
+        out += bytes(rgb)
+    mcs = max(2, bits)
+    for f in frames:
+        flags = (f["disposal"] << 2) | (1 if f["transparent"] is not None else 0)
+        out += bytes([0x21, 0xF9, 4, flags])
+        out += int(f["delay_cs"]).to_bytes(2, "little")
+        out += bytes([f["transparent"] or 0, 0])
+        h, w = f["idx"].shape
+        out += b"\x2c"
+        out += f["left"].to_bytes(2, "little") + f["top"].to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0])  # no local palette, no interlace
+        out += _lzw_encode(f["idx"].reshape(-1).tolist(), mcs)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_frames_compositing_model():
+    # palette: 0 red (bg), 1 green, 2 blue, 3 white
+    gct = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    f0 = np.full((4, 6), 1, dtype=np.uint8)          # full green screen
+    f1 = np.full((2, 2), 2, dtype=np.uint8)          # blue patch at (1,2)
+    f1[0, 0] = 3                                      # transparent pixel
+    f2 = np.full((1, 3), 3, dtype=np.uint8)          # white strip at (0,0)
+    gif = _anim_gif(
+        6, 4, gct, 0,
+        [
+            {"left": 0, "top": 0, "idx": f0, "delay_cs": 5,
+             "disposal": 1, "transparent": None},
+            {"left": 2, "top": 1, "idx": f1, "delay_cs": 7,
+             "disposal": 2, "transparent": 3},
+            {"left": 0, "top": 0, "idx": f2, "delay_cs": 3,
+             "disposal": 0, "transparent": None},
+        ],
+    )
+    frames = V.gif_frames(gif)
+    assert [d for d, _ in frames] == [50, 70, 30]
+    pal = np.array(gct, dtype=np.uint8)
+    # frame 0: full green
+    want0 = np.broadcast_to(pal[1], (4, 6, 3)).copy()
+    assert np.array_equal(frames[0][1], want0)
+    # frame 1: green canvas + blue patch at rows 1-2 cols 2-3, minus the
+    # transparent pixel at (1,2) which keeps the green underneath
+    want1 = want0.copy()
+    want1[1:3, 2:4] = pal[2]
+    want1[1, 2] = pal[1]
+    assert np.array_equal(frames[1][1], want1)
+    # frame 2: disposal 2 restored the patch rect to BACKGROUND red first,
+    # then the white strip drew over row 0 cols 0-2
+    want2 = want0.copy()
+    want2[1:3, 2:4] = pal[0]
+    want2[0, 0:3] = pal[3]
+    assert np.array_equal(frames[2][1], want2)
+
+
+def test_gif_frames_disposal_previous():
+    gct = [(10, 10, 10), (200, 0, 0), (0, 200, 0)]
+    base = np.full((3, 3), 1, dtype=np.uint8)
+    patch = np.full((3, 3), 2, dtype=np.uint8)
+    tail = np.zeros((1, 1), dtype=np.uint8)
+    gif = _anim_gif(
+        3, 3, gct, 0,
+        [
+            {"left": 0, "top": 0, "idx": base, "delay_cs": 1,
+             "disposal": 1, "transparent": None},
+            {"left": 0, "top": 0, "idx": patch, "delay_cs": 1,
+             "disposal": 3, "transparent": None},   # restore-to-previous
+            {"left": 1, "top": 1, "idx": tail, "delay_cs": 1,
+             "disposal": 0, "transparent": None},
+        ],
+    )
+    frames = V.gif_frames(gif)
+    pal = np.array(gct, dtype=np.uint8)
+    # frame 2 must draw on the RESTORED frame-0 canvas, not on frame 1
+    want = np.broadcast_to(pal[1], (3, 3, 3)).copy()
+    want[1, 1] = pal[0]
+    assert np.array_equal(frames[2][1], want)
+
+
+def test_video_frame_stats_animated_gif(spark):
+    gct = [(0, 0, 0), (255, 255, 255)]
+    a = np.zeros((4, 4), dtype=np.uint8)
+    bfr = np.full((4, 4), 1, dtype=np.uint8)
+    gif = _anim_gif(
+        4, 4, gct, 0,
+        [
+            {"left": 0, "top": 0, "idx": a, "delay_cs": 10,
+             "disposal": 1, "transparent": None},
+            {"left": 0, "top": 0, "idx": bfr, "delay_cs": 10,
+             "disposal": 1, "transparent": None},
+        ],
+    )
+    df = spark.createDataFrame([(5, bytearray(gif))], "doc_id long, payload binary")
+    row = V.video_frame_stats(df).first()
+    # black -> white: per-pixel delta lum = 1000*255; 16 px
+    assert (row.n_frames, row.fps_millis) == (2, 10000)
+    assert row.motion_millisum == 16 * 255 * 1000
+    assert row.error is None
+    srows = V.sample_frames(df).collect()
+    assert sorted(r.frame_idx for r in srows) == [0, 1]
+
+
 def _box(typ: bytes, payload: bytes) -> bytes:
     return (8 + len(payload)).to_bytes(4, "big") + typ + payload
 
