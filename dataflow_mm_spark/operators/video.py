@@ -44,18 +44,28 @@ def parse_avi(buf) -> dict:
     """Bounded RIFF walk over an AVI container: returns ``width``,
     ``height``, ``fps_millis`` (1000 × frames/sec, integer — computed as
     ``dwRate * 1000 // dwScale`` from the video ``strh``), ``n_frames``
-    and the list of raw MJPEG frame payloads (stream-0 ``00dc``/``00db``
-    chunks, in stream order).  Raises ``ValueError`` for anything that is
-    not a well-formed AVI — same per-row contract as ``decode_image``."""
+    and the list of raw MJPEG frame payloads (video-stream ``NNdc``/
+    ``NNdb`` chunks, in stream order).  An ``auds`` stream, if present,
+    yields ``audio_rate`` (samples/sec) and ``audio_pcm`` (its ``NNwb``
+    chunk bytes concatenated — raw PCM; see :func:`extract_audio`).
+    Stream numbers follow ``strh`` declaration order per the AVI spec, so
+    audio-first files demux correctly too.  Raises ``ValueError`` for
+    anything that is not a well-formed AVI — same per-row contract as
+    ``decode_image``."""
     b = bytes(buf or b"")
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF/'AVI ') container")
     width = height = None
     rate = scale = None
+    a_rate = a_scale = None
+    stream_n = 0
+    vids_idx = auds_idx = None
     frames: list[bytes] = []
+    audio: list[bytes] = []
 
     def walk(lo: int, hi: int) -> None:
-        nonlocal width, height, rate, scale
+        nonlocal width, height, rate, scale, a_rate, a_scale
+        nonlocal stream_n, vids_idx, auds_idx
         i = lo
         while i + 8 <= hi:
             fourcc = b[i : i + 4]
@@ -73,11 +83,24 @@ def parse_avi(buf) -> dict:
                     width = _U32(b, body_lo + 32)
                     height = _U32(b, body_lo + 36)
             elif fourcc == b"strh":
+                k = stream_n
+                stream_n += 1
                 if size >= 32 and b[body_lo : body_lo + 4] == b"vids":
-                    scale = _U32(b, body_lo + 20)
-                    rate = _U32(b, body_lo + 24)
-            elif fourcc in (b"00dc", b"00db"):
-                frames.append(b[body_lo:body_hi])
+                    if vids_idx is None:
+                        vids_idx = k
+                        scale = _U32(b, body_lo + 20)
+                        rate = _U32(b, body_lo + 24)
+                elif size >= 32 and b[body_lo : body_lo + 4] == b"auds":
+                    if auds_idx is None:
+                        auds_idx = k
+                        a_scale = _U32(b, body_lo + 20)
+                        a_rate = _U32(b, body_lo + 24)
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                if vids_idx is None or int(fourcc[:2]) == vids_idx:
+                    frames.append(b[body_lo:body_hi])
+            elif fourcc[2:4] == b"wb" and fourcc[:2].isdigit():
+                if auds_idx is not None and int(fourcc[:2]) == auds_idx:
+                    audio.append(b[body_lo:body_hi])
             # chunks are word-aligned: odd sizes carry one pad byte
             i = body_lo + size + (size & 1)
 
@@ -85,7 +108,7 @@ def parse_avi(buf) -> dict:
     if width is None or height is None:
         raise ValueError("AVI without an avih main header")
     if not frames:
-        raise ValueError("AVI contains no stream-0 video frames")
+        raise ValueError("AVI contains no video frames")
     fps_millis = (rate * 1000 // scale) if rate and scale else 0
     return {
         "width": int(width),
@@ -93,6 +116,8 @@ def parse_avi(buf) -> dict:
         "fps_millis": int(fps_millis),
         "n_frames": len(frames),
         "frames": frames,
+        "audio_rate": int(a_rate // a_scale) if a_rate and a_scale else 0,
+        "audio_pcm": b"".join(audio),
     }
 
 
@@ -118,11 +143,16 @@ def encode_avi_mjpeg(
     height: int,
     rate: int = 12000,
     scale: int = 1000,
+    audio_pcm: bytes | None = None,
+    audio_rate: int = 16000,
 ) -> bytes:
     """Fixture-grade AVI writer: one MJPEG video stream, ``00dc`` chunks,
     word-aligned, with a standard ``idx1`` index (readers that need it get
-    one; :func:`parse_avi` ignores it).  Every structural field a real
-    demuxer checks — avih dims/frame count, ``vids``/``MJPG`` strh with
+    one; :func:`parse_avi` ignores it).  ``audio_pcm`` adds a second
+    stream — ``auds`` strh + PCMWAVEFORMAT strf (16-bit mono) and a
+    ``01wb`` chunk — so the demux side is exercised against a true
+    two-stream container.  Every structural field a real demuxer checks —
+    avih dims/frame count/stream count, ``vids``/``MJPG`` strh with
     rate/scale, BITMAPINFOHEADER strf — is populated, so the decoder side
     is exercised against honestly-framed input, not a shortcut blob."""
     n = len(frames_jpeg)
@@ -139,10 +169,11 @@ def encode_avi_mjpeg(
     def list_chunk(subtype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", subtype + body)
 
+    n_streams = 2 if audio_pcm is not None else 1
     avih = (
         u32(1_000_000 * scale // rate)  # dwMicroSecPerFrame
         + u32(0) + u32(0) + u32(0x10)   # maxbytes, padding, AVIF_HASINDEX
-        + u32(n) + u32(0) + u32(1) + u32(0)  # totalframes, initial, streams, bufsize
+        + u32(n) + u32(0) + u32(n_streams) + u32(0)  # frames, initial, streams, bufsz
         + u32(width) + u32(height)
         + u32(0) * 4
     )
@@ -159,15 +190,30 @@ def encode_avi_mjpeg(
         + u16(1) + u16(24) + b"MJPG" + u32(width * height * 3)
         + u32(0) * 4
     )
-    hdrl = list_chunk(
-        b"hdrl",
-        chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
-    )
+    strl = list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    if audio_pcm is not None:
+        astrh = (
+            b"auds" + b"\x00" * 4
+            + u32(0) + u16(0) + u16(0) + u32(0)
+            + u32(1) + u32(audio_rate) + u32(0) + u32(len(audio_pcm) // 2)
+            + u32(0) + u32(0) + u32(2)  # bufsize, quality, dwSampleSize=2
+            + u16(0) * 4
+        )
+        astrf = (  # PCMWAVEFORMAT: tag 1, mono, 16-bit
+            u16(1) + u16(1) + u32(audio_rate) + u32(audio_rate * 2)
+            + u16(2) + u16(16)
+        )
+        strl += list_chunk(
+            b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf)
+        )
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + strl)
     movi_body = b"movi"
     offsets = []
     for f in frames_jpeg:
         offsets.append(len(movi_body))  # offset of the 00dc fourcc within movi
         movi_body += chunk(b"00dc", f)
+    if audio_pcm is not None:
+        movi_body += chunk(b"01wb", audio_pcm)
     movi = chunk(b"LIST", movi_body)
     idx1 = chunk(
         b"idx1",
@@ -494,6 +540,64 @@ def video_frame_stats(
             out["n_frames"] = pd.array(nf, dtype="Int64")
             out["fps_millis"] = pd.array(fps, dtype="Int64")
             out["motion_millisum"] = pd.array(mot, dtype="Int64")
+            out["error"] = errs
+            yield out
+
+    return df.mapInPandas(gen, schema)
+
+
+def extract_audio(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """A/V demux without ffmpeg: pull the PCM soundtrack out of an AVI
+    (``auds`` stream's ``NNwb`` chunks) and re-wrap it as a RIFF/WAVE
+    binary so the whole audio chain (``operators/audio.py``: decode →
+    energy → VAD FSM → sessionization) runs on video soundtracks
+    unchanged.  WAV payloads pass through as-is (rate re-read from their
+    own header).  Outputs ``sample_rate`` + ``wav``; rows without an
+    extractable track get NULLs + an error string (per-row contract)."""
+    import numpy as np
+
+    from dataflow_mm_spark.operators.audio import decode_wav, encode_wav
+
+    dts = dict(df.dtypes)
+    ids_schema = ", ".join(f"{c} {dts[c]}" for c in id_cols)
+    schema = f"{ids_schema}, sample_rate int, wav binary, error string"
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rates, wavs, errs = [], [], []
+            for payload in pdf[bin_col]:
+                b = bytes(payload or b"")
+                try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                        info = parse_avi(b)
+                        if not info["audio_pcm"] or not info["audio_rate"]:
+                            raise ValueError("AVI carries no audio stream")
+                        pcm = info["audio_pcm"]
+                        samples = np.frombuffer(
+                            pcm[: len(pcm) // 2 * 2], dtype="<i2"
+                        )
+                        rates.append(info["audio_rate"])
+                        wavs.append(encode_wav(samples, info["audio_rate"]))
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        _, sr = decode_wav(b)  # validates the container
+                        rates.append(sr)
+                        wavs.append(b)
+                    else:
+                        raise ValueError(
+                            "no extractable audio (AVI soundtrack or WAV)"
+                        )
+                    errs.append(None)
+                except ValueError as e:
+                    rates.append(None)
+                    wavs.append(None)
+                    errs.append(str(e))
+            out = pdf[list(id_cols)].copy()
+            out["sample_rate"] = pd.array(rates, dtype="Int32")
+            out["wav"] = wavs
             out["error"] = errs
             yield out
 

@@ -355,6 +355,65 @@ def test_sample_frames_time_based(spark):
     assert [r.frame_idx for r in rows] == [0, 3, 6, 9]
 
 
+def test_avi_audio_stream_roundtrip():
+    rng = np.random.default_rng(62)
+    frames = [_block_constant_img(rng, 8, 8) for _ in range(2)]
+    pcm = np.zeros(4000, dtype=np.int16)
+    pcm[1000:2500] = 20000
+    payload = V.encode_avi_mjpeg(
+        [J.encode_jpeg(f) for f in frames], width=8, height=8,
+        audio_pcm=pcm.tobytes(), audio_rate=8000,
+    )
+    info = V.parse_avi(payload)
+    assert info["n_frames"] == 2 and info["audio_rate"] == 8000
+    assert np.array_equal(np.frombuffer(info["audio_pcm"], dtype="<i2"), pcm)
+    # video side unaffected by the second stream
+    for got, src in zip(V.decode_avi(payload), frames):
+        assert np.array_equal(got, _chain(src))
+    # video-only files report an empty track
+    vonly = V.encode_avi_mjpeg([J.encode_jpeg(frames[0])], width=8, height=8)
+    v = V.parse_avi(vonly)
+    assert v["audio_rate"] == 0 and v["audio_pcm"] == b""
+
+
+def test_extract_audio_to_vad_chain(spark):
+    from dataflow_mm_spark.operators.audio import decode_wav, encode_wav, vad_spans
+
+    rng = np.random.default_rng(63)
+    pcm = np.zeros(512 * 22, dtype=np.int16)
+    pcm[512 * 2 : 512 * 14] = 21000  # 12 windows = 0.384s > min_speech 0.25s
+    avi = V.encode_avi_mjpeg(
+        [J.encode_jpeg(_block_constant_img(rng, 8, 8))], width=8, height=8,
+        audio_pcm=pcm.tobytes(), audio_rate=16000,
+    )
+    wav_direct = encode_wav(pcm, 16000)
+    silent_avi = V.encode_avi_mjpeg(
+        [J.encode_jpeg(_block_constant_img(rng, 8, 8))], width=8, height=8
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(avi)), (1, bytearray(wav_direct)),
+         (2, bytearray(silent_avi)), (3, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in V.extract_audio(df).collect()}
+    assert rows[0].sample_rate == 16000 and rows[0].error is None
+    got, sr = decode_wav(rows[0].wav)
+    assert sr == 16000 and np.array_equal(got, pcm)
+    assert bytes(rows[1].wav) == wav_direct  # WAV passthrough
+    assert rows[2].error is not None and rows[3].error is not None
+    # the soundtrack runs the UNCHANGED audio chain: demuxed WAV produces
+    # the same VAD spans as the directly-encoded WAV
+    tracks = spark.createDataFrame(
+        [(0, bytearray(rows[0].wav)), (1, bytearray(wav_direct))],
+        "event_id long, payload binary",
+    )
+    spans = {
+        r.event_id: [(s.start_sample, s.end_sample) for s in r.spans]
+        for r in vad_spans(tracks).collect()
+    }
+    assert spans[0] == spans[1] and len(spans[0]) > 0
+
+
 def test_with_asset_meta_avi_dims_and_mime(spark):
     rng = np.random.default_rng(58)
     _, avi = _make_avi(rng, n_frames=2, h=32, w=48)
