@@ -172,9 +172,11 @@ def main() -> None:
     # integer whole-clip motion score, time-based frame sampling; then the
     # video_info + motion-score filters (video_info_filter /
     # video_motion_score_filter analogues) run on REAL numbers.
+    from dataflow_mm_spark.operators.audio import vad_spans
     from dataflow_mm_spark.operators.jpegcodec import encode_jpeg
     from dataflow_mm_spark.operators.video import (
         encode_avi_mjpeg,
+        extract_audio,
         sample_frames,
         video_frame_stats,
     )
@@ -196,10 +198,13 @@ def main() -> None:
                     )
                     for f in range(did % 3 + 2)
                 ]
+                pcm = np.zeros(512 * 20, dtype=np.int16)
+                pcm[512 * 2 : 512 * (14 + did % 4)] = 21000
                 rows.append(
                     (did, encode_avi_mjpeg(
                         frames, width=16, height=8,
                         rate=10000 + (did % 5) * 2000, scale=1000,
+                        audio_pcm=pcm.tobytes(), audio_rate=16000,
                     ))
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "avi"])
@@ -215,6 +220,16 @@ def main() -> None:
     )
     n2c = moving.count()
     n2f = sample_frames(clips, every_millis=150, bin_col="avi").count()
+    # A/V demux -> the UNCHANGED audio chain: soundtrack out of the
+    # container, silero-style VAD spans over it
+    tracks = extract_audio(clips, bin_col="avi").filter(
+        F.col("error").isNull()
+    ).select(F.col("doc_id").alias("event_id"), F.col("wav").alias("payload"))
+    n2a = (
+        vad_spans(tracks)
+        .select(F.explode("spans"))
+        .count()
+    )
 
     # 4. caption near-dup keep-first (SimHash, Hamming <= 8)
     pairs = simhash_neardup_pairs(
@@ -247,12 +262,13 @@ def main() -> None:
     print(
         f"assets {n0} -> sized {n1} -> scored>=0.25 {n2} "
         f"(real-pixel BMP cutout+head scored {n2b}; real-video clips "
-        f"moving@10-20fps {n2c}, sampled frames {n2f}) -> "
+        f"moving@10-20fps {n2c}, sampled frames {n2f}, "
+        f"VAD spans on demuxed soundtracks {n2a}) -> "
         f"near-dup-unique {n3} -> top60% {n4} -> warehouse rows {n5}"
     )
     assert n5 == n4 > 0
     assert n2b > 0
-    assert n2c > 0 and n2f >= n2c
+    assert n2c > 0 and n2f >= n2c and n2a > 0
     spark.stop()
 
 
