@@ -654,7 +654,30 @@ def sample_frames(
                         imgs = decode_avi(b, idxs)
                     elif b[:6] in (b"GIF87a", b"GIF89a"):
                         gfs = gif_frames(b)
-                        idxs = list(range(0, len(gfs), every_n))
+                        delays = [d for d, _ in gfs]
+                        if every_millis is not None and sum(delays) > 0:
+                            # GIF delays are PER-FRAME: the frame shown at
+                            # tick t is the last one whose cumulative
+                            # start time <= t (bisect over starts)
+                            import bisect
+
+                            starts, acc = [], 0
+                            for d in delays:
+                                starts.append(acc)
+                                acc += d
+                            idxs, k, seen = [], 0, set()
+                            while k * every_millis < acc:
+                                ix = (
+                                    bisect.bisect_right(
+                                        starts, k * every_millis
+                                    ) - 1
+                                )
+                                if ix not in seen:
+                                    seen.add(ix)
+                                    idxs.append(ix)
+                                k += 1
+                        else:
+                            idxs = list(range(0, len(gfs), every_n))
                         imgs = [gfs[i][1] for i in idxs]
                     else:
                         idxs, imgs = [0], [decode_image(b)]

@@ -414,6 +414,26 @@ def test_extract_audio_to_vad_chain(spark):
     assert spans[0] == spans[1] and len(spans[0]) > 0
 
 
+def test_sample_frames_time_based_gif(spark):
+    # per-frame delays 100/100/1000ms (starts 0/100/200, total 1200);
+    # ticks every 500ms -> 0, 500, 1000 -> frames 0, 2, 2 -> [0, 2]:
+    # time-based sampling must SKIP the short middle frame
+    gct = [(0, 0, 0), (80, 80, 80), (160, 160, 160)]
+    gif = _anim_gif(
+        4, 4, gct, 0,
+        [
+            {"left": 0, "top": 0, "idx": np.full((4, 4), i, dtype=np.uint8),
+             "delay_cs": cs, "disposal": 1, "transparent": None}
+            for i, cs in ((0, 10), (1, 10), (2, 100))
+        ],
+    )
+    df = spark.createDataFrame([(1, bytearray(gif))], "doc_id long, payload binary")
+    rows = sorted(
+        V.sample_frames(df, every_millis=500).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in rows] == [0, 2]
+
+
 def test_with_asset_meta_avi_dims_and_mime(spark):
     rng = np.random.default_rng(58)
     _, avi = _make_avi(rng, n_frames=2, h=32, w=48)
