@@ -552,6 +552,10 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_px: int) -> "np.ndarray":
     codes, the KwKwK self-reference case, and the 12-bit table cap."""
     import numpy as np
 
+    if not 1 <= min_code_size <= 11:
+        # codes are capped at 12 bits by the spec; a mutated header byte
+        # here would otherwise size the initial table as 2^255 (DoS)
+        raise ValueError(f"bad LZW min code size {min_code_size}")
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     width = min_code_size + 1
     table: list[bytes] = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]

@@ -40,6 +40,24 @@ from dataflow_mm_spark.operators.multimodal import decode_image
 _U32 = lambda b, i: int.from_bytes(b[i : i + 4], "little")  # noqa: E731
 
 
+def _valueerror_contract(fn):
+    """Normalize hostile-header failure modes to the per-row ValueError
+    contract (same rule as ``multimodal.decode_image``): truncated or
+    mutated containers can trip raw byte indexing deep in a walk — those
+    must surface as per-row NULLs upstream, never as a job failure."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (IndexError, KeyError, OverflowError, MemoryError) as e:
+            raise ValueError(f"malformed container: {e!r}") from None
+
+    return wrapped
+
+
+@_valueerror_contract
 def parse_avi(buf) -> dict:
     """Bounded RIFF walk over an AVI container: returns ``width``,
     ``height``, ``fps_millis`` (1000 × frames/sec, integer — computed as
@@ -226,6 +244,7 @@ def encode_avi_mjpeg(
     return b"RIFF" + u32(len(riff_body)) + riff_body
 
 
+@_valueerror_contract
 def gif_frames(buf) -> list:
     """Decode EVERY frame of a GIF87a/89a animation, composited onto the
     logical screen per the GIF89a disposal model — returns
@@ -260,6 +279,8 @@ def gif_frames(buf) -> list:
         pos += 3 * n
     if sw <= 0 or sh <= 0:
         raise ValueError("bad logical screen dimensions")
+    if sw * sh > (1 << 26):  # 64M px — hostile-header allocation guard
+        raise ValueError("logical screen too large")
     bg = (
         gct[bg_idx] if gct is not None and bg_idx < gct.shape[0]
         else np.zeros(3, dtype=np.uint8)
@@ -328,6 +349,9 @@ def gif_frames(buf) -> list:
             idx = de
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("palette index out of range")
+        if (len(frames) + 1) * sw * sh > (1 << 28):
+            # 256M px across all composited copies — hostile-animation guard
+            raise ValueError("animation too large to composite")
         before = canvas.copy() if disposal == 3 else None
         rect = canvas[top : top + h, left : left + w]
         mask = (idx != transparent) if transparent is not None else slice(None)
@@ -343,6 +367,7 @@ def gif_frames(buf) -> list:
     return frames
 
 
+@_valueerror_contract
 def mp4_video_info(buf) -> dict:
     """Metadata-only ISO-BMFF walk (faststart layout, moov before mdat —
     the streaming norm): ``width``/``height`` from the first video track's

@@ -472,6 +472,56 @@ def test_video_frame_stats_on_structured_stream(spark, tmp_path):
     assert got == want and len(got) == 4
 
 
+def test_parsers_valueerror_contract_under_mutation():
+    """Per-row contract fuzz: random byte mutations / truncations of valid
+    containers must either parse or raise ValueError — never any other
+    exception (a stray IndexError inside a mapInPandas batch would fail
+    the whole job instead of NULLing the row), and never a runaway
+    allocation (hostile-dims guards)."""
+    rng = np.random.default_rng(64)
+    _, avi = _make_avi(rng, n_frames=2, h=8, w=8)
+    gct = [(0, 0, 0), (255, 255, 255)]
+    gif = _anim_gif(
+        8, 8, gct, 0,
+        [{"left": 0, "top": 0, "idx": np.zeros((8, 8), dtype=np.uint8),
+          "delay_cs": 5, "disposal": 1, "transparent": None},
+         {"left": 2, "top": 2, "idx": np.ones((4, 4), dtype=np.uint8),
+          "delay_cs": 5, "disposal": 2, "transparent": 1}],
+    )
+    mp4 = _mp4_fixture(320, 240, 30000, 60000, [(60, 1000)])
+    corpora = [bytes(avi), gif, mp4]
+    parsers = (V.parse_avi, V.gif_frames, V.mp4_video_info)
+    for seed in range(600):
+        r = np.random.default_rng(10_000 + seed)
+        base = corpora[seed % 3]
+        b = bytearray(base)
+        if seed % 5 == 0:
+            b = b[: int(r.integers(0, len(b)))]
+        else:
+            for _ in range(int(r.integers(1, 9))):
+                b[int(r.integers(0, len(b)))] = int(r.integers(0, 256))
+        for fn in parsers:
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass  # the contract
+    # targeted DoS bytes: LZW min-code-size mutated to 255 must raise,
+    # not size a 2^255 code table
+    bad_mcs = bytearray(gif)
+    # first image's mcs byte: header 13 + GCT 2*3 + GCE 8 + descriptor 10
+    mcs_off = 13 + 6 + 8 + 10
+    assert gif[mcs_off] <= 11  # sanity: we found the mcs byte
+    bad_mcs[mcs_off] = 255
+    with pytest.raises(ValueError):
+        V.gif_frames(bytes(bad_mcs))
+    # pure garbage of assorted lengths
+    for n in (0, 1, 7, 12, 13, 64, 4096):
+        junk = bytes(np.random.default_rng(n).integers(0, 256, n, dtype=np.uint8))
+        for fn in parsers:
+            with pytest.raises(ValueError):
+                fn(junk)
+
+
 def test_luminance_and_cutout_pipeline_on_avi(spark):
     # the full image pipeline (decode → cutout → re-decode) runs unchanged
     # on a video payload via the first-frame convention
