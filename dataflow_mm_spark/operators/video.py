@@ -571,6 +571,72 @@ def video_frame_stats(
     return df.mapInPandas(gen, schema)
 
 
+def video_info(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """The reference's ``video_info`` dict as typed columns
+    (video_info_filter.py:324-336: ``{success, num_frames, height, width,
+    aspect_ratio, resolution, fps, duration_sec}`` via cv2.VideoCapture) —
+    here from the real in-engine walks: AVI/MJPEG (full container parse),
+    animated GIF (frame count + delay sum), MP4 (metadata moov walk), and
+    still images (single-frame, dims from the real decode).  Ratios kept
+    integer for oracle replay: ``aspect_milli = 1000*w//h``,
+    ``fps_millis``, ``duration_millis``.  Failed rows get
+    ``success=false`` + NULL metrics, never a job failure — exactly the
+    reference's ``{'success': False}`` row contract."""
+    dts = dict(df.dtypes)
+    ids_schema = ", ".join(f"{c} {dts[c]}" for c in id_cols)
+    schema = (
+        f"{ids_schema}, success boolean, num_frames bigint, width int, "
+        "height int, aspect_milli bigint, resolution bigint, "
+        "fps_millis bigint, duration_millis bigint"
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                ids = [getattr(r, c) for c in id_cols]
+                b = bytes(getattr(r, bin_col) or b"")
+                try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                        info = parse_avi(b)
+                        nf, w, h = info["n_frames"], info["width"], info["height"]
+                        fps = info["fps_millis"]
+                        dur = nf * 1_000_000 // fps if fps > 0 else 0
+                    elif b[4:8] == b"ftyp":
+                        info = mp4_video_info(b)
+                        nf, w, h = info["n_frames"], info["width"], info["height"]
+                        fps, dur = info["fps_millis"], info["duration_millis"]
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        gfs = gif_frames(b)
+                        nf = len(gfs)
+                        h, w = gfs[0][1].shape[:2]
+                        dur = sum(d for d, _ in gfs)
+                        fps = nf * 1_000_000 // dur if dur > 0 else 0
+                    else:
+                        img = decode_image(b)
+                        h, w = img.shape[:2]
+                        nf, fps, dur = 1, 0, 0
+                    rows.append(
+                        [*ids, True, nf, w, h, 1000 * w // h, w * h, fps, dur]
+                    )
+                except ValueError:
+                    rows.append(
+                        [*ids, False, None, None, None, None, None, None, None]
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[*id_cols, "success", "num_frames", "width", "height",
+                         "aspect_milli", "resolution", "fps_millis",
+                         "duration_millis"],
+            )
+
+    return df.mapInPandas(gen, schema)
+
+
 def extract_audio(
     df: DataFrame,
     bin_col: str = "payload",

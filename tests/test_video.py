@@ -472,6 +472,36 @@ def test_video_frame_stats_on_structured_stream(spark, tmp_path):
     assert got == want and len(got) == 4
 
 
+def test_video_info_all_container_kinds(spark):
+    rng = np.random.default_rng(65)
+    _, avi = _make_avi(rng, n_frames=3, h=8, w=16, rate=15000)
+    mp4 = _mp4_fixture(640, 480, 24000, 48000, [(48, 1000)])
+    gct = [(0, 0, 0), (255, 255, 255)]
+    gif = _anim_gif(
+        6, 4, gct, 0,
+        [{"left": 0, "top": 0, "idx": np.zeros((4, 6), dtype=np.uint8),
+          "delay_cs": 25, "disposal": 1, "transparent": None}] * 2,
+    )
+    still = J.encode_jpeg(_block_constant_img(rng, 8, 8))
+    df = spark.createDataFrame(
+        [(0, bytearray(avi)), (1, bytearray(mp4)), (2, bytearray(gif)),
+         (3, bytearray(still)), (4, bytearray(b"garbage"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in V.video_info(df).collect()}
+    a = rows[0]
+    assert (a.success, a.num_frames, a.width, a.height) == (True, 3, 16, 8)
+    assert (a.aspect_milli, a.resolution, a.fps_millis) == (2000, 128, 15000)
+    assert a.duration_millis == 3 * 1_000_000 // 15000
+    m = rows[1]
+    assert (m.num_frames, m.fps_millis, m.duration_millis) == (48, 24000, 2000)
+    g = rows[2]
+    assert (g.num_frames, g.duration_millis, g.fps_millis) == (2, 500, 4000)
+    s = rows[3]
+    assert (s.success, s.num_frames, s.width, s.fps_millis) == (True, 1, 8, 0)
+    assert rows[4].success is False and rows[4].num_frames is None
+
+
 def test_parsers_valueerror_contract_under_mutation():
     """Per-row contract fuzz: random byte mutations / truncations of valid
     containers must either parse or raise ValueError — never any other
