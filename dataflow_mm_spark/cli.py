@@ -13,7 +13,10 @@ events; --cep-variant picks the state layout), sessions (session_window
 agg), neardup (MinHash candidates), context (prev-turn join), merge
 (size-capped span merge, W6 merge mode), compact (maintenance: rewrite a
 sink's committed micro-batch dirs into one generation — small-files
-compaction; only --output is required).
+compaction; only --output is required), assetinfo (stateless multimodal
+ingest enrichment: sniff/sha256/header dims + the reference's video_info
+dict from the real AVI/GIF/MP4 container walks, over a (doc_id, payload)
+binary stream).
 ``--continuous`` keeps the stream
 running with a processing-time trigger; default drains available input and
 exits (availableNow). Re-running with the same --checkpoint resumes from the
@@ -37,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser(description="dataflow-mm-spark streaming jobs")
     p.add_argument("--job", choices=["turns", "windows", "cep", "sessions", "neardup",
-                                     "context", "merge", "compact"],
+                                     "context", "merge", "compact", "assetinfo"],
                    required=True)
     p.add_argument("--input", default=None, help="parquet dir / table path")
     p.add_argument("--output", required=True, help="sink dir")
@@ -127,6 +130,15 @@ def main() -> None:
         q, _ = jobs.neardup_pipeline(**common)
     elif args.job == "merge":
         q, _ = jobs.merge_spans_pipeline(close_gap=args.gap, **common)
+    elif args.job == "assetinfo":
+        # stateless multimodal ingest enrichment: real container walks
+        # (AVI/GIF/MP4 + still decode) -> typed video_info columns
+        q, _ = jobs.asset_info_pipeline(
+            spark=spark, input_path=args.input, out_dir=args.output,
+            checkpoint=args.checkpoint,
+            available_now=not args.continuous,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
     elif args.job == "context":
         q, _ = jobs.context_pipeline(
             spark=spark, input_path=args.input, out_dir=args.output,

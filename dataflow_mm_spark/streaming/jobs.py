@@ -381,3 +381,42 @@ def sessionized_pipeline(
         )
     )
     return _finish(agg, out_dir, checkpoint, available_now, sink_mode)
+
+
+def asset_info_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+    sink_mode: str = "exactly_once",
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    watermark: str | None = None,  # stateless job; accepted for CLI parity
+):
+    """Stateless asset-metadata enrichment over a binary-asset stream (the
+    north-rule shape for multimodal ingest): magic sniff + sha256 + header
+    dims JVM-side (``with_asset_meta``), then the reference's
+    ``video_info`` dict as typed columns from the REAL container walks
+    (AVI/MJPEG frames, GIF animation, MP4 moov, still decode) — success /
+    num_frames / dims / aspect / resolution / fps / duration per asset.
+    One Arrow pass carries the payload; everything downstream is narrow.
+    Unreadable assets surface as ``success=false`` rows, never failures."""
+    from dataflow_mm_spark.operators.multimodal import with_asset_meta
+    from dataflow_mm_spark.operators.video import video_info
+
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
+    meta = with_asset_meta(src, bin_col).select(
+        id_col, bin_col,
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+    info = video_info(meta, bin_col=bin_col,
+                      id_cols=(id_col, "mime", "n_bytes", "sha256"))
+    return _finish(info, out_dir, checkpoint, available_now, sink_mode)

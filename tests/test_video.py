@@ -502,6 +502,30 @@ def test_video_info_all_container_kinds(spark):
     assert rows[4].success is False and rows[4].num_frames is None
 
 
+def test_asset_info_pipeline_stream(spark, tmp_path):
+    """The assetinfo CLI job's pipeline: binary-asset stream -> sniff +
+    video_info enrichment, availableNow drain == batch expectations."""
+    from dataflow_mm_spark.streaming.jobs import asset_info_pipeline
+
+    rng = np.random.default_rng(66)
+    _, avi = _make_avi(rng, n_frames=3, h=8, w=16, rate=15000)
+    still = J.encode_jpeg(_block_constant_img(rng, 8, 8))
+    df = spark.createDataFrame(
+        [(0, bytearray(avi)), (1, bytearray(still)), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    df.repartition(2).write.parquet(inp)
+    q, _ = asset_info_pipeline(spark, inp, out, ck, sink_mode="native")
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[0].mime == "video/x-msvideo" and rows[0].num_frames == 3
+    assert rows[0].fps_millis == 15000 and rows[0].success
+    assert rows[1].mime == "image/jpeg" and rows[1].num_frames == 1
+    assert rows[2].success is False and rows[2].num_frames is None
+    assert len(rows[2].sha256) == 64  # sniff columns present even on failure
+
+
 def test_parsers_valueerror_contract_under_mutation():
     """Per-row contract fuzz: random byte mutations / truncations of valid
     containers must either parse or raise ValueError — never any other
