@@ -2754,7 +2754,9 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     stdlib-zlib IDAT — ``decode_png`` must unfilter), GIF (%5==2;
     per-image local palette, fixture-side dict LZW ENCODER — the kernel's
     table-growth DECODER must reconstruct; doc_id%8==6 additionally
-    interlaced), baseline JPEG (%5==3; colors CONSTANT PER 8x8 BLOCK so
+    interlaced; doc_id%8==2 ANIMATED — two full-rect frames behind GCE
+    blocks at 100ms each, frame 1 seeded doc_id+257, so the compositor's
+    n_frames/fps/motion are oracled too, losslessly), baseline JPEG (%5==3; colors CONSTANT PER 8x8 BLOCK so
     the lossy transform is exact — FDCT of a constant block is pure DC and
     the flat quant step 2^(doc_id%3) divides it; doc_id%8==7 adds restart
     markers.  The decoded pixel is then the closed-form integer chain
@@ -2842,7 +2844,7 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             + chunk(b"IEND", b"")
         )
 
-    def _gif_build(rgb: "np.ndarray", interlace: bool) -> bytes:
+    def _gif_image_block(rgb: "np.ndarray", interlace: bool) -> bytes:
         # independent dict-based LZW encoder; decode_gif owns the decoder.
         # ≤224 px/image → every image fits one local 256-color palette.
         h, w = rgb.shape[:2]
@@ -2897,13 +2899,37 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             blocks += bytes([len(part)]) + part
         blocks += b"\x00"
         return (
-            b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
-            + bytes([0, 0, 0])  # no global color table
-            + b"\x2c" + bytes(4)
+            b"\x2c" + bytes(4)
             + w.to_bytes(2, "little") + h.to_bytes(2, "little")
             + bytes([0x80 | (bits - 1) | (0x40 if interlace else 0)])
             + full.tobytes()
             + bytes(blocks)
+        )
+
+    def _gif_build(rgb: "np.ndarray", interlace: bool) -> bytes:
+        h, w = rgb.shape[:2]
+        return (
+            b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0, 0, 0])  # no global color table
+            + _gif_image_block(rgb, interlace)
+            + b"\x3b"
+        )
+
+    def _gif_anim(rgbs: list, delay_cs: int = 10) -> bytes:
+        # GIF89a animation: a GCE (disposal 1 = leave, delay) before each
+        # full-rect image — the kernel's compositor must walk the GCE/
+        # descriptor sequence and report n_frames/fps/motion
+        h, w = rgbs[0].shape[:2]
+        body = b"".join(
+            bytes([0x21, 0xF9, 4, 0x04])  # disposal 1, no transparency
+            + delay_cs.to_bytes(2, "little") + bytes([0, 0])
+            + _gif_image_block(fr, False)
+            for fr in rgbs
+        )
+        return (
+            b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0, 0, 0])
+            + body
             + b"\x3b"
         )
 
@@ -2926,7 +2952,21 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if fam == 1:
                     payload = _png_forward(rgb)
                 elif fam == 2:
-                    payload = _gif_build(rgb, interlace=did % 8 == 6)
+                    if did % 8 == 2:
+                        # ANIMATED sub-variant: frame 1 re-runs the raw
+                        # formula at seed did+257 (GIF is lossless, so the
+                        # oracle replays motion in plain integer SQL)
+                        f1 = np.stack(
+                            [
+                                (2 * x + 13 * y + did + 257) % 239,
+                                (5 * x + 11 * y + did + 257) % 241,
+                                (3 * x + 7 * y + did + 257) % 251,
+                            ],
+                            axis=-1,
+                        ).astype(np.uint8)
+                        payload = _gif_anim([rgb, f1])
+                    else:
+                        payload = _gif_build(rgb, interlace=did % 8 == 6)
                 elif fam == 3:
                     q = 2 ** (did % 3)
                     payload = encode_jpeg(
@@ -3076,7 +3116,9 @@ WITH d AS (
          doc_id % 3 AS x0, doc_id % 4 AS y0,
          LEAST(doc_id % 13 + 4, doc_id % 3 + doc_id % 5 + 2) AS x1,
          LEAST(doc_id % 11 + 4, doc_id % 4 + doc_id % 6 + 2) AS y1,
-         CASE WHEN doc_id % 5 = 4 THEN doc_id % 3 + 2 ELSE 1 END AS nf
+         CASE WHEN doc_id % 5 = 4 THEN doc_id % 3 + 2
+              WHEN doc_id % 5 = 2 AND doc_id % 8 = 2 THEN 2
+              ELSE 1 END AS nf
   FROM documents
 ), base AS (
   -- raw formula colors; the JPEG/AVI families (doc_id%5 IN (3,4)) sample
@@ -3086,13 +3128,13 @@ WITH d AS (
   SELECT doc_id, w, h, x0, y0, x1, y1, nf, x, y, f,
          CASE WHEN doc_id % 5 IN (3, 4)
               THEN (16*(x//8) + 104*(y//8) + doc_id + 257*f) % 239
-              ELSE (2*x + 13*y + doc_id) % 239 END AS r0,
+              ELSE (2*x + 13*y + doc_id + 257*f) % 239 END AS r0,
          CASE WHEN doc_id % 5 IN (3, 4)
               THEN (40*(x//8) + 88*(y//8) + doc_id + 257*f) % 241
-              ELSE (5*x + 11*y + doc_id) % 241 END AS g0,
+              ELSE (5*x + 11*y + doc_id + 257*f) % 241 END AS g0,
          CASE WHEN doc_id % 5 IN (3, 4)
               THEN (24*(x//8) + 56*(y//8) + doc_id + 257*f) % 251
-              ELSE (3*x + 7*y + doc_id) % 251 END AS b0
+              ELSE (3*x + 7*y + doc_id + 257*f) % 251 END AS b0
   FROM d,
        LATERAL (SELECT unnest(range(w)) AS x),
        LATERAL (SELECT unnest(range(h)) AS y),
@@ -3165,6 +3207,7 @@ SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
             WHEN 3 THEN 'jpeg' ELSE 'avi' END AS codec,
        CAST(nf AS BIGINT) AS n_frames,
        CAST(CASE WHEN d.doc_id % 5 = 4 THEN 12000 + (d.doc_id % 7) * 1000
+                 WHEN d.doc_id % 5 = 2 AND d.doc_id % 8 = 2 THEN 10000
                  ELSE 0 END AS BIGINT) AS fps_millis,
        CAST(COALESCE(mot.motion, 0) AS BIGINT) AS motion_millisum
 FROM d JOIN crop USING (doc_id) JOIN rs USING (doc_id) JOIN lum USING (doc_id)
