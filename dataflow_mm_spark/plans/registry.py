@@ -3215,6 +3215,27 @@ FROM d JOIN crop USING (doc_id) JOIN rs USING (doc_id) JOIN lum USING (doc_id)
 """
 
 
+def _with_sentinel(t: DataFrame, text: str = "sentinel push watermark") -> DataFrame:
+    """Append the far-future watermark-advance sentinel row to a transcript
+    fixture, built ENTIRELY JVM-side from a one-row aggregate of the fixture
+    itself.  The previous local-list ``createDataFrame`` sentinel
+    parallelizes into defaultParallelism Python-backed partitions, and every
+    job over it spawns one Python worker per (empty) partition — measured
+    4-6 s of pure worker-spawn tax per 1-row sentinel write at local[32]
+    (guide §4: eliminate the Python boundary).  The agg form also removes
+    the separate ``max_ts`` collect job: one fixture-write job does scan +
+    max + union + shuffle.  Row values are identical (max(ts) + 2 h)."""
+    sent = t.agg(F.max("ts").alias("_mx")).select(
+        F.lit("conv-sentinel").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit(text).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.col("_mx") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+    )
+    return t.unionAll(sent)
+
+
 def transcripts_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 streaming semantics under the DuckDB value-hash gate: the REAL
     flagship ``turns_pipeline`` (readStream → watermark → stateful
@@ -3317,18 +3338,13 @@ def transcripts_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
             "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
         )
-        max_ts = t.agg(F.max("ts")).first()[0]
         # the sentinel text must PASS the quality rules: Catalyst pushes the
         # ts-free quality predicate BELOW the EventTimeWatermark node, so
         # only passing rows drive the watermark (verified: an 'x' sentinel
         # left the final window unfinalized)
         from dataflow_mm_spark.datagen import TEMPLATES
 
-        sentinel = spark.createDataFrame(
-            [("conv-sentinel", 0, "user", TEMPLATES[0], None, max_ts)],
-            t.schema,
-        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
-        t.unionAll(sentinel).repartition(4).write.parquet(inp)
+        _with_sentinel(t, TEMPLATES[0]).repartition(4).write.parquet(inp)
         drain_resumable(
             lambda: windowed_pipeline(spark, inp, out, ck, sink_mode="native")
         )
@@ -3383,12 +3399,7 @@ def transcripts_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
             "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
         )
-        max_ts = t.agg(F.max("ts")).first()[0]
-        sentinel = spark.createDataFrame(
-            [("conv-sentinel", 0, "user", "sentinel push watermark", None, max_ts)],
-            t.schema,
-        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
-        t.unionAll(sentinel).repartition(4).write.parquet(inp)
+        _with_sentinel(t).repartition(4).write.parquet(inp)
         drain_resumable(lambda: cep_pipeline(
             spark, inp, out, ck, buckets=32, sink_mode="native"
         ))
@@ -3465,12 +3476,7 @@ def transcripts_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
             "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
         )
-        max_ts = t.agg(F.max("ts")).first()[0]
-        sentinel = spark.createDataFrame(
-            [("conv-sentinel", 0, "user", "sentinel push watermark", None, max_ts)],
-            t.schema,
-        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
-        t.unionAll(sentinel).repartition(4).write.parquet(inp)
+        _with_sentinel(t).repartition(4).write.parquet(inp)
         drain_resumable(
             lambda: sessionized_pipeline(spark, inp, out, ck, sink_mode="native")
         )
@@ -3517,12 +3523,7 @@ def transcripts_stream_cep_summary(spark: SparkSession, sf_dir: str) -> DataFram
             "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
             "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
         )
-        max_ts = t.agg(F.max("ts")).first()[0]
-        sentinel = spark.createDataFrame(
-            [("conv-sentinel", 0, "user", "sentinel push watermark", None, max_ts)],
-            t.schema,
-        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
-        t.unionAll(sentinel).repartition(4).write.parquet(inp)
+        _with_sentinel(t).repartition(4).write.parquet(inp)
         drain_resumable(lambda: cep_pipeline(
             spark, inp, out, ck, buckets=32, sink_mode="native"
         ))
@@ -3701,13 +3702,17 @@ def events_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sec + (F.col("event_id") % 7 + 1)).cast("double").alias("span_end"),
             F.col("ts").cast("timestamp").alias("ts"),
         )
-        max_ts = spans.agg(F.max("ts")).first()[0]
-        spans.repartition(4).write.parquet(inp)
-        sentinel = spark.createDataFrame(
-            [("conv-sentinel", 0.0, 1.0, max_ts)],
-            "conv_id string, span_start double, span_end double, ts timestamp",
-        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
-        sentinel.coalesce(1).write.mode("append").parquet(inp)
+        # JVM-literal sentinel (see _with_sentinel: a local-list
+        # createDataFrame costs ~4-6 s of empty-Python-worker spawns per
+        # write at local[32]); the one-row agg fuses max(ts) into the
+        # fixture-write job, removing the separate collect too.
+        sent = spans.agg(F.max("ts").alias("_mx")).select(
+            F.lit("conv-sentinel").alias("conv_id"),
+            F.lit(0.0).alias("span_start"),
+            F.lit(1.0).alias("span_end"),
+            (F.col("_mx") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+        )
+        spans.unionAll(sent).repartition(4).write.parquet(inp)
         drain_resumable(
             lambda: merge_spans_pipeline(
                 spark, inp, out, ck, max_duration=30.0, sink_mode="native"
