@@ -85,12 +85,28 @@ def neardup_candidates_stream(
     max_entries: int = 1024,
     ttl_minutes: int = 120,
     emit_arrivals: bool = False,
+    state_buckets: int = 1024,
 ) -> DataFrame:
     """``emit_arrivals=True`` additionally emits one NULL-key_seen marker per
     arriving row (from its band-0 group), which makes the stream
     self-contained for IN-STREAM keep-first resolution: every candidate's
     ``key_new`` is an arrival of the same micro-batch, so
-    ``decisions_from_batch`` can grade each arrival inside foreachBatch."""
+    ``decisions_from_batch`` can grade each arrival inside foreachBatch.
+
+    State layout (r6): the stateful op groups on ``hash(bucket) %
+    state_buckets`` (the cep_stream_bucketed device) instead of one state
+    group per LSH bucket.  Per-group Python/Arrow/GroupState round-trip
+    overhead is ~10 ms regardless of group size (measured: a 25.7k-row gate
+    batch fanning into 11.6k singleton bucket groups spent 148 s of summed
+    update time — nearly all round-trip, not compare work), so amortizing
+    ~tens of buckets per group cuts the stateful stage's wall ~5-10x while
+    per-bucket semantics (event-time order, keep-first memory, TTL
+    eviction, max_entries ring) are preserved exactly — each bucket inside
+    the group keeps its own entry list and last-event time, and the group
+    timer fires at the MINIMUM per-bucket deadline, evicting only expired
+    buckets.  Resuming a pre-r6 checkpoint fails loudly at query start
+    (state key schema changed from the bucket string to the int group id) —
+    restart from a fresh checkpoint."""
     rows = num_hashes // bands
     keyed = turns.select(
         F.concat_ws("#", *key_cols).alias("row_key"),
@@ -127,23 +143,36 @@ def neardup_candidates_stream(
         F.concat_ws("/", F.col("bk.band").cast("string"), F.col("bk.key")).alias(
             "bucket"
         ),
+    ).select(
+        "*",
+        F.pmod(F.xxhash64("bucket"), F.lit(state_buckets)).cast("int").alias("g"),
     )
+    ttl_ms = ttl_minutes * 60_000
 
     def fn(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            state.remove()
+            # evict only the EXPIRED buckets of this group (per-bucket TTL
+            # semantics of the pre-r6 one-group-per-bucket layout), re-arm
+            # the timer at the next-earliest deadline
+            st = json.loads(state.get[0]) if state.exists else {}
+            st = {b: v for b, v in st.items() if v[0] + ttl_ms > wm}
+            if st:
+                lasts = [v[0] for v in st.values()]
+                state.update((json.dumps(st), max(lasts)))
+                state.setTimeoutTimestamp(max(min(lasts) + ttl_ms, wm + 1000))
+            else:
+                state.remove()
             return  # nothing to emit — skip the empty-frame alloc
-        entries: list[list] = _upgrade_entries(
-            json.loads(state.get[0]) if state.exists else []
-        )
-        seen_keys = {e[0] for e in entries}
+        # state value: {bucket: [last_ms, entries]}
+        st: dict[str, list] = json.loads(state.get[0]) if state.exists else {}
         out = []
-        last_ms = state.get[1] if state.exists else 0
         # vectorized row extraction: per-row pd.Timestamp/itertuples cost
         # ~2 ms/row at scale; the ns int preserves the exact event-time
-        # order. "first seen" stays deterministic via the (ts, row_key) sort
+        # order. "first seen" stays deterministic via the (ts, row_key)
+        # sort — stable, so per-bucket subsequence order is unchanged.
         rows: list[tuple] = []
         for pdf in pdf_iter:
             if not len(pdf):
@@ -155,27 +184,49 @@ def neardup_candidates_stream(
                     pdf["row_key"].tolist(),
                     pdf["sig"].tolist(),
                     pdf["band"].tolist(),
+                    pdf["bucket"].tolist(),
                 )
             )
         rows.sort(key=lambda r: (r[0], r[1]))
+        # incoming tally sizes each dense bucket's matrix up front
+        inc: dict[str, int] = {}
+        for r in rows:
+            inc[r[4]] = inc.get(r[4], 0) + 1
         exact = min_frac >= 1.0
-        # hybrid candidate scan (r4 judge #4): remembered signatures also
-        # live in an (n, num_hashes) int64 matrix; an arrival facing a
-        # DENSE bucket (n >= _VEC_MIN) compares against all n in one numpy
-        # pass — O(rows x entries) Python work collapses to vector ops.
-        # SPARSE buckets (the common LSH regime: band keying keeps
-        # occupancy near 1-2) keep the short Python loop, which A/B
-        # measured FASTER than numpy dispatch below ~16 entries (sf0.1
-        # neardup cell: pure-numpy 9.7-10.1k tps vs loop 10.8k; the loop
-        # is ~1 µs at n<=2 while np.asarray+slice+mean costs ~3-5 µs).
-        keys: list[str] = [e[0] for e in entries]
-        n = len(entries)
-        M = np.empty((n + len(rows), num_hashes), dtype=np.int64)
-        if n:
-            M[:n] = np.asarray([e[1] for e in entries], dtype=np.int64)
-        for ns_i, row_key, sig, band in rows:
+        # per-bucket working set: [keys, entries, seen, M|None, n, last_ms]
+        work: dict[str, list] = {}
+
+        def load(b: str) -> list:
+            w = work.get(b)
+            if w is None:
+                ent = st.get(b)
+                entries = _upgrade_entries(ent[1]) if ent else []
+                keys = [e[0] for e in entries]
+                n = len(entries)
+                # hybrid candidate scan (r4 judge #4): a DENSE bucket
+                # (n >= _VEC_MIN) compares via one numpy pass over an
+                # incrementally-filled (n, num_hashes) int64 matrix; SPARSE
+                # buckets (the common LSH regime, occupancy 1-2) keep the
+                # short Python loop, A/B measured faster below ~16 entries
+                # (BENCH.md §7).  The matrix is only allocated when the
+                # bucket can go dense this batch.
+                M = None
+                if n + inc[b] >= _VEC_MIN:
+                    M = np.empty((n + inc[b], num_hashes), dtype=np.int64)
+                    if n:
+                        M[:n] = np.asarray(
+                            [e[1] for e in entries], dtype=np.int64
+                        )
+                w = [keys, entries, set(keys), M, n,
+                     ent[0] if ent else 0]
+                work[b] = w
+            return w
+
+        for ns_i, row_key, sig, band, b in rows:
             if emit_arrivals and int(band) == 0:
                 out.append((row_key, None, 0, 0.0))
+            w = load(b)
+            keys, entries, seen_keys, M, n = w[0], w[1], w[2], w[3], w[4]
             is_dup = False
             s: list[int] | None = None
             if 0 < n < _VEC_MIN:
@@ -212,23 +263,30 @@ def neardup_candidates_stream(
             # texts (image_diversity_filter.py:14-34); remembering flagged
             # rows would transitively drop C for A~B, B~C even when A!~C
             if not is_dup and row_key not in seen_keys:
-                M[n] = sig
+                if M is not None:
+                    M[n] = sig
                 keys.append(row_key)
                 entries.append([row_key, s if s is not None
                                 else [int(x) for x in sig]])
                 seen_keys.add(row_key)
-                n += 1
-            if ns_i // 1_000_000 > last_ms:
-                last_ms = ns_i // 1_000_000
-        if len(entries) > max_entries:
-            entries = entries[-max_entries:]
-        state.update((json.dumps(entries), last_ms))
-        wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(last_ms + ttl_minutes * 60_000, wm + 1000))
+                w[4] = n + 1
+            ms = ns_i // 1_000_000
+            if ms > w[5]:
+                w[5] = ms
+        for b, w in work.items():
+            entries = w[1]
+            if len(entries) > max_entries:
+                entries = entries[-max_entries:]
+            st[b] = [w[5], entries]
+        lasts = [v[0] for v in st.values()]
+        state.update((json.dumps(st), max(lasts) if lasts else 0))
+        state.setTimeoutTimestamp(
+            max((min(lasts) if lasts else 0) + ttl_ms, wm + 1000)
+        )
         if out:
             yield pd.DataFrame(out, columns=["key_new", "key_seen", "band", "sig_agree"])
 
-    return keyed.groupBy("bucket").applyInPandasWithState(
+    return keyed.groupBy("g").applyInPandasWithState(
         fn,
         outputStructType=CAND_SCHEMA,
         stateStructType=BUCKET_STATE,
