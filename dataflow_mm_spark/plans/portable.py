@@ -170,7 +170,17 @@ def synthetic_turns_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _SYNTH_CACHE.get(key)
     if path is None or not os.path.isdir(path):
         path = tempfile.mkdtemp(prefix="dfmm_synth_cache_")
-        synthetic_turns(spark, sf_dir).write.mode("overwrite").parquet(path)
+        # repartition to cluster parallelism before the write: AQE coalesces
+        # the row_number window's post-shuffle partitions to ONE at gate
+        # scale, so without this the cache is a single file/row-group and
+        # EVERY downstream consumer runs single-task (measured r6: the full
+        # quality_struct pass over the cache 4.6 s at 1 partition vs 0.55 s
+        # at 32 — guide §2, parallelism must survive the materialization).
+        # defaultParallelism is cluster-derived, not a local constant.
+        n = spark.sparkContext.defaultParallelism
+        synthetic_turns(spark, sf_dir).repartition(n).write.mode(
+            "overwrite"
+        ).parquet(path)
         _SYNTH_CACHE[key] = path
         atexit.register(shutil.rmtree, path, ignore_errors=True)
     return spark.read.parquet(path)

@@ -1551,9 +1551,11 @@ FROM y GROUP BY conv_id, sess_id
 def transcripts_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: quality-filtered turn counts per conversation per 5-minute
     tumbling window (SURVEY.md §7.2 slice, batch form)."""
-    # cache = projection barrier: filter pushdown would otherwise inline the
-    # synthetic text CASE into every one of the 15 rule expressions
-    t = Q.rule_base_filter(synthetic_turns(spark, sf_dir).cache())
+    # r6: the .cache() projection barrier is gone — synthetic_turns is the
+    # session-memoized PARQUET cache since r5, so the 15 rule expressions
+    # reference a plain scan column and nothing re-inlines; caching only
+    # added a 100k-row materialization pass for a single-consumer plan
+    t = Q.rule_base_filter(synthetic_turns(spark, sf_dir))
     return W.tumbling_agg(t, size="5 minutes")
 
 
