@@ -2554,6 +2554,9 @@ def events_ctc_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .where((F.col("event_id") % 7) == 0)
         .select("event_id")
+        # single-file scan = one task; spread the Python fixture gen +
+        # Viterbi over the cluster (r6, guide §2)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def gen(it):
@@ -2639,6 +2642,8 @@ def events_wav_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .where((F.col("event_id") % 11) == 1)
         .select("event_id")
+        # single-file scan = one task; spread WAV synthesis + VAD FSM (r6)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def gen(it):
@@ -2798,7 +2803,12 @@ def docs_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_stats,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # single-file scan = one task; the per-pixel Python codec encoders and
+    # every downstream Python pass (seg_cutout, stats, video walk) inherit
+    # the fixture's partitioning — spread it over the cluster (r6, guide §2)
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def _png_forward(rgb: "np.ndarray") -> bytes:
         # independent forward filtering (Filt = Raw - predictor), cycling
