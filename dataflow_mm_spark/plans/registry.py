@@ -51,6 +51,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan to cluster parallelism IF it plans
+    fewer partitions (the sf test tables are single-file single-row-group
+    parquet, so every scan-rooted compute chain otherwise runs as ONE task
+    — measured r6: the md5-minhash HOF pass over documents single-threaded
+    dominated the LSH queries).  No-op at real scale, where multi-file
+    inputs already plan >= defaultParallelism splits; only applied to
+    queries whose outputs are partitioning-insensitive (exact integer /
+    string / per-row semantics — NOT float aggregations, where summation
+    order could flip a rounding tie)."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _turns_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic transcript-shaped view over the events table: user_id →
     conv_id, dense event order → turn_idx. Lets transcript operators be
@@ -627,7 +643,7 @@ SELECT * FROM sys UNION ALL SELECT * FROM body
 
 
 def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return Q.rule_base_filter(docs).select("doc_id")
 
 
@@ -713,7 +729,7 @@ _MUTATE_SQL = (
 def docs_quality_filter_mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache = projection barrier: otherwise filter pushdown inlines the CASE
     # mutation into every one of the 15 rule expressions (30x re-eval)
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", F.expr(_MUTATE_SQL).alias("text")
     ).cache()
     return Q.rule_base_filter(docs).select("doc_id")
@@ -899,7 +915,7 @@ SELECT doc_id FROM k
 
 
 def docs_ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(docs, n=2, threshold=0.25, max_df=50)
 
 
@@ -922,7 +938,7 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH end-to-end under the gate: banded candidate generation
     (equi-join on md5 band keys — the 100TB-shaped path) + exact Jaccard
     verification. 8 hashes x 4 bands of 2 rows, bigram shingles."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(
         docs, n=2, num_hashes=8, bands=4, threshold=0.3
     )
@@ -953,7 +969,7 @@ FROM v WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.3
 
 
 def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", D.norm_words(F.col("text")).alias("_w"))
         .select("doc_id", D.shingles_of_words(F.col("_w"), 2).alias("_sh"))
@@ -1571,7 +1587,7 @@ FROM kept GROUP BY 1, 2, 3
 
 
 def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return D.simhash_neardup_pairs(docs, max_hamming=8)
 
 
@@ -1656,7 +1672,7 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing sketch, pinned to the driver gate via order-insensitive
     aggregates of the fingerprint set (count/min/max/mod-sum — the array
     itself stringifies differently across engines)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     f = docs.select("doc_id", TA.winnow_fingerprints(F.col("text")).alias("fps"))
     modsum = F.aggregate(
         "fps", F.lit(0).cast("long"), lambda s, x: s + x % 1000003
@@ -1985,7 +2001,7 @@ def docs_joint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     under BOTH detectors — n-gram Jaccard (bigram, ≥0.25, df-cap 50) and
     SimHash (Hamming ≤8) — keep-first (drop id_b of any pair). Composes the
     two already-oracled pair queries, so the oracle replays the union."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return D.joint_neardup_dedup(
         docs, jaccard_threshold=0.25, max_hamming=8, n=2, max_df=50
     ).select("doc_id")
@@ -4028,7 +4044,7 @@ def docs_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_lang_id / docs_token_stats / docs_quality_score /
     docs_fingerprint). One projection over documents — at 100 TB this is
     the shape these kernels run in anyway (one pass, many columns)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         TA.lang_guess(F.col("text")).alias("lang_guess"),
