@@ -3243,6 +3243,50 @@ FROM d JOIN crop USING (doc_id) JOIN rs USING (doc_id) JOIN lum USING (doc_id)
 """
 
 
+def _gate_shuffle(spark: SparkSession, inp: str):
+    """Scale-adaptive shuffle/state partitioning for a gate stream drain
+    (guide §2.4/§2.2): a streaming query instantiates ONE state store per
+    shuffle partition per stateful operator (a stream-stream join holds
+    four), and every micro-batch pays each store's commit bookkeeping
+    (~0.3-0.7 s summed per partition at sf0.1 — measured r6, independent of
+    data volume; fsync is NOT the cost, 0.3 ms on this box).  Partitions
+    are derived from the just-written fixture's actual row count
+    (rows // 12.5k clamped to [4, defaultParallelism]) so a 25k-row gate
+    drain stops paying 32 stores x batches of bookkeeping while larger
+    inputs still spread over the cluster (A/B at sf0.1:
+    transcripts_stream_join 7.9-10.8 s at 32 partitions vs 3.4-3.9 s at
+    4-8; every other gate drain improved too, incl. the Python-stateful
+    ones).  Results are partitioning-independent: aggregations are exact,
+    dedup/CEP/merge state is keyed, the join is an equi-join.  The prior
+    value is restored after the drain; a checkpoint resume re-pins its own
+    recorded value.  Returns a context manager."""
+    import glob
+    import os
+    from contextlib import contextmanager
+
+    import pyarrow.parquet as _pq
+
+    rows = 0
+    for f in glob.glob(os.path.join(inp, "*.parquet")):
+        try:
+            rows += _pq.ParquetFile(f).metadata.num_rows
+        except Exception:  # noqa: BLE001 — sizing heuristic only
+            pass
+    n = max(4, min(spark.sparkContext.defaultParallelism, rows // 12_500))
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+
+    @contextmanager
+    def scope():
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
+
+    return scope()
+
+
 def _with_sentinel(t: DataFrame, text: str = "sentinel push watermark") -> DataFrame:
     """Append the far-future watermark-advance sentinel row to a transcript
     fixture, built ENTIRELY JVM-side from a one-row aggregate of the fixture
@@ -3299,9 +3343,10 @@ def transcripts_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             phash("dupkey", F.col("conv_id"), F.col("turn_idx")) % 17 == 0
         )
         dup_arrivals.coalesce(1).write.mode("append").parquet(inp)
-        sink = drain_resumable(lambda: turns_pipeline(
-            spark, inp, out, ck, max_files_per_trigger=2
-        ))
+        with _gate_shuffle(spark, inp):
+            sink = drain_resumable(lambda: turns_pipeline(
+                spark, inp, out, ck, max_files_per_trigger=2
+            ))
         # r4: COMPACT the first half of the committed micro-batches into one
         # generation (Iceberg rewrite_data_files analogue) before reading —
         # the unchanged value hash below proves compaction preserves rows
@@ -3373,9 +3418,11 @@ def transcripts_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         from dataflow_mm_spark.datagen import TEMPLATES
 
         _with_sentinel(t, TEMPLATES[0]).repartition(4).write.parquet(inp)
-        drain_resumable(
-            lambda: windowed_pipeline(spark, inp, out, ck, sink_mode="native")
-        )
+        with _gate_shuffle(spark, inp):
+            drain_resumable(
+                lambda: windowed_pipeline(spark, inp, out, ck,
+                                          sink_mode="native")
+            )
         return (
             spark.read.parquet(out)
             .filter(F.col("conv_id") != "conv-sentinel")
@@ -3428,9 +3475,10 @@ def transcripts_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
         )
         _with_sentinel(t).repartition(4).write.parquet(inp)
-        drain_resumable(lambda: cep_pipeline(
-            spark, inp, out, ck, buckets=32, sink_mode="native"
-        ))
+        with _gate_shuffle(spark, inp):
+            drain_resumable(lambda: cep_pipeline(
+                spark, inp, out, ck, buckets=32, sink_mode="native"
+            ))
         return (
             spark.read.parquet(out)
             .filter(
@@ -3505,9 +3553,11 @@ def transcripts_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
         )
         _with_sentinel(t).repartition(4).write.parquet(inp)
-        drain_resumable(
-            lambda: sessionized_pipeline(spark, inp, out, ck, sink_mode="native")
-        )
+        with _gate_shuffle(spark, inp):
+            drain_resumable(
+                lambda: sessionized_pipeline(spark, inp, out, ck,
+                                             sink_mode="native")
+            )
         return (
             spark.read.parquet(out)
             .filter(F.col("conv_id") != "conv-sentinel")
@@ -3552,9 +3602,10 @@ def transcripts_stream_cep_summary(spark: SparkSession, sf_dir: str) -> DataFram
             "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
         )
         _with_sentinel(t).repartition(4).write.parquet(inp)
-        drain_resumable(lambda: cep_pipeline(
-            spark, inp, out, ck, buckets=32, sink_mode="native"
-        ))
+        with _gate_shuffle(spark, inp):
+            drain_resumable(lambda: cep_pipeline(
+                spark, inp, out, ck, buckets=32, sink_mode="native"
+            ))
         d = F.col("detail")
         return (
             spark.read.parquet(out)
@@ -3655,9 +3706,11 @@ def transcripts_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
         )
         t.repartition(4).write.parquet(inp)
-        drain_resumable(
-            lambda: context_pipeline(spark, inp, out, ck, sink_mode="native")
-        )
+        with _gate_shuffle(spark, inp):
+            drain_resumable(
+                lambda: context_pipeline(spark, inp, out, ck,
+                                         sink_mode="native")
+            )
         return (
             spark.read.parquet(out)
             .select(
@@ -3741,11 +3794,12 @@ def events_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_mx") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
         )
         spans.unionAll(sent).repartition(4).write.parquet(inp)
-        drain_resumable(
-            lambda: merge_spans_pipeline(
-                spark, inp, out, ck, max_duration=30.0, sink_mode="native"
+        with _gate_shuffle(spark, inp):
+            drain_resumable(
+                lambda: merge_spans_pipeline(
+                    spark, inp, out, ck, max_duration=30.0, sink_mode="native"
+                )
             )
-        )
         return (
             spark.read.parquet(out)
             .filter(F.col("conv_id") != "conv-sentinel")
@@ -3834,20 +3888,22 @@ def transcripts_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
         )
         t.repartition(4).write.parquet(inp)
-        sink = drain_resumable(
-            lambda: neardup_pipeline(
-                spark, inp, out, ck,
-                min_frac=1.0, max_entries=1_000_000,
-                # TTL far past the data horizon: dedup-state timeouts are
-                # pure memory eviction (no semantic close event, unlike
-                # CEP/merge), and the closed-form oracle assumes no eviction.
-                # Letting the watermark-advance batch time out ~11k groups
-                # costs ~10 ms of GroupState round-trip EACH (measured: the
-                # empty batch drops 6.8 s -> 2.7 s at sf0.1) for decisions
-                # that cannot change in a bounded availableNow drain.
-                ttl_minutes=10_000_000,
+        with _gate_shuffle(spark, inp):
+            sink = drain_resumable(
+                lambda: neardup_pipeline(
+                    spark, inp, out, ck,
+                    min_frac=1.0, max_entries=1_000_000,
+                    # TTL far past the data horizon: dedup-state timeouts
+                    # are pure memory eviction (no semantic close event,
+                    # unlike CEP/merge), and the closed-form oracle assumes
+                    # no eviction.  Letting the watermark-advance batch
+                    # time out the state groups costs a GroupState
+                    # round-trip each (measured r5: the empty batch drops
+                    # 6.8 s -> 2.7 s at sf0.1) for decisions that cannot
+                    # change in a bounded availableNow drain.
+                    ttl_minutes=10_000_000,
+                )
             )
-        )
         return (
             sink.read_committed(spark)
             .select("row_key", "dup")
@@ -3948,13 +4004,14 @@ def transcripts_stream_neardup_chain(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("ts"),
         )
         t.repartition(4).write.parquet(inp)
-        sink = drain_resumable(
-            lambda: neardup_pipeline(
-                spark, inp, out, ck,
-                min_frac=0.75, max_entries=1_000_000,
-                ttl_minutes=10_000_000,  # eviction-only TTL past the horizon
+        with _gate_shuffle(spark, inp):
+            sink = drain_resumable(
+                lambda: neardup_pipeline(
+                    spark, inp, out, ck,
+                    min_frac=0.75, max_entries=1_000_000,
+                    ttl_minutes=10_000_000,  # eviction-only TTL past horizon
+                )
             )
-        )
         return (
             sink.read_committed(spark)
             .select("row_key", "dup")
