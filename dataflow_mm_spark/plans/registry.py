@@ -308,6 +308,10 @@ def events_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_spans_capped(
         spans, key_cols=("user_id",),
         start_col="span_start", end_col="span_end", max_duration=30.0,
+        # ~8 rows per bucket per core at gate scale: one Python round-trip
+        # per bucket instead of per user (r6; spans/key is tiny here, so
+        # bucketed memory is bounded)
+        group_buckets=8 * spark.sparkContext.defaultParallelism,
     )
 
 
