@@ -257,10 +257,7 @@ def with_asset_meta(
         .when(is_gif, "image/gif")
         .when(is_bmp, "image/bmp")
         .when(is_mp4, "video/mp4")
-        .when(
-            (F.substring(b, 1, 4) == b"RIFF") & (F.substring(b, 9, 4) == b"AVI "),
-            "video/x-msvideo",
-        )
+        .when(is_avi, "video/x-msvideo")
         .when(F.substring(b, 1, 4) == b"RIFF", "audio/wav")
         .otherwise("application/octet-stream")
     )

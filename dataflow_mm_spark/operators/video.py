@@ -125,6 +125,11 @@ def parse_avi(buf) -> dict:
     walk(12, len(b))
     if width is None or height is None:
         raise ValueError("AVI without an avih main header")
+    if not width or not height:
+        # r6 (r5 ADVICE): a hostile/corrupt avih with zero dims previously
+        # leaked through to aspect arithmetic as ZeroDivisionError — which
+        # the per-row ValueError contract did not catch, failing the task
+        raise ValueError("AVI avih reports zero width/height")
     if not frames:
         raise ValueError("AVI contains no video frames")
     fps_millis = (rate * 1000 // scale) if rate and scale else 0
@@ -368,6 +373,85 @@ def gif_frames(buf) -> list:
 
 
 @_valueerror_contract
+def gif_meta(buf) -> dict:
+    """Metadata-only GIF walk for ``video_info`` (r5 ADVICE): frame count,
+    per-frame GCE delays and logical-screen dims WITHOUT LZW decode or
+    canvas compositing — ``gif_frames`` composites a full RGB canvas copy
+    per frame (up to the guard, ~hundreds of MB retained on a large
+    animation) just to answer n_frames/fps/dims.  Mirrors gif_frames'
+    structural validation (magic, screen dims, descriptor rects, block
+    framing, the same size guards) so the success/failure verdict agrees
+    on every structurally-valid payload; LZW payload corruption (bad
+    codes, palette-index overflow) is only detectable by the full decoders
+    — the same metadata-only contract as ``mp4_video_info``."""
+    b = bytes(buf or b"")
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    pos = 13
+    has_gct = bool(packed & 0x80)
+    if has_gct:
+        pos += 3 * (2 << (packed & 0x07))
+    if sw <= 0 or sh <= 0:
+        raise ValueError("bad logical screen dimensions")
+    if sw * sh > (1 << 26):  # 64M px — hostile-header allocation guard
+        raise ValueError("logical screen too large")
+    delays: list[int] = []
+    delay_ms = 0
+    while pos < len(b):
+        marker = b[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension
+            if pos >= len(b):
+                raise ValueError("truncated extension")
+            label = b[pos]
+            pos += 1
+            sub0 = pos
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            if label == 0xF9 and b[sub0] >= 4:  # graphic control
+                delay_ms = int.from_bytes(b[sub0 + 2 : sub0 + 4], "little") * 10
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+        if pos + 9 > len(b):
+            raise ValueError("truncated image descriptor")
+        left = int.from_bytes(b[pos : pos + 2], "little")
+        top = int.from_bytes(b[pos + 2 : pos + 4], "little")
+        w = int.from_bytes(b[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+        ipacked = b[pos + 8]
+        pos += 9
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        elif not has_gct:
+            raise ValueError("GIF image without a color table")
+        if w <= 0 or h <= 0 or left + w > sw or top + h > sh:
+            raise ValueError("frame rect outside the logical screen")
+        if (len(delays) + 1) * sw * sh > (1 << 28):
+            raise ValueError("animation too large to composite")
+        pos += 1  # min code size
+        while pos < len(b) and b[pos] != 0:
+            pos += 1 + b[pos]
+        pos += 1  # block terminator
+        delays.append(delay_ms)
+        delay_ms = 0
+    if not delays:
+        raise ValueError("GIF contains no image")
+    return {
+        "width": sw,
+        "height": sh,
+        "n_frames": len(delays),
+        "duration_millis": sum(delays),
+    }
+
+
+@_valueerror_contract
 def mp4_video_info(buf) -> dict:
     """Metadata-only ISO-BMFF walk (faststart layout, moov before mdat —
     the streaming norm): ``width``/``height`` from the first video track's
@@ -469,6 +553,22 @@ def _lum_milli(img) -> "object":
     return 299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]
 
 
+def _motion_millisum_frames(frames) -> int:
+    """Motion core over already-extracted MJPEG frame payloads — lets
+    callers that hold a ``parse_avi`` result (video_frame_stats) avoid a
+    second full RIFF walk + frame re-slice (r5 ADVICE)."""
+    total = 0
+    prev = None
+    for fr in frames:
+        cur = _lum_milli(decode_image(fr))
+        if prev is not None:
+            if cur.shape != prev.shape:
+                raise ValueError("inter-frame dimension change")
+            total += int(abs(cur - prev).sum())
+        prev = cur
+    return total
+
+
 def motion_millisum(buf) -> int:
     """Integer-exact motion score of an AVI: Σ_f Σ_px |lum₁₀₀₀(f) −
     lum₁₀₀₀(f−1)| over consecutive decoded frames (``f ≥ 1``).  A
@@ -476,17 +576,7 @@ def motion_millisum(buf) -> int:
     ``video_motion_score_filter.py`` (mean inter-frame difference — this is
     the undivided integer sum so oracles replay it exactly; callers divide
     by ``(n_frames−1)·n_px·1000`` for the reference's mean)."""
-    imgs = decode_avi(buf)
-    total = 0
-    prev = None
-    for img in imgs:
-        cur = _lum_milli(img)
-        if prev is not None:
-            if cur.shape != prev.shape:
-                raise ValueError("inter-frame dimension change")
-            total += int(abs(cur - prev).sum())
-        prev = cur
-    return total
+    return _motion_millisum_frames(parse_avi(buf)["frames"])
 
 
 def video_frame_stats(
@@ -523,7 +613,9 @@ def video_frame_stats(
                         info = parse_avi(b)
                         nf.append(info["n_frames"])
                         fps.append(info["fps_millis"])
-                        mot.append(motion_millisum(b))
+                        # reuse the parsed frame payloads — motion_millisum(b)
+                        # would re-walk the whole RIFF tree (r5 ADVICE)
+                        mot.append(_motion_millisum_frames(info["frames"]))
                         errs.append(None)
                     elif b[4:8] == b"ftyp":
                         info = mp4_video_info(b)
@@ -611,10 +703,12 @@ def video_info(
                         nf, w, h = info["n_frames"], info["width"], info["height"]
                         fps, dur = info["fps_millis"], info["duration_millis"]
                     elif b[:6] in (b"GIF87a", b"GIF89a"):
-                        gfs = gif_frames(b)
-                        nf = len(gfs)
-                        h, w = gfs[0][1].shape[:2]
-                        dur = sum(d for d, _ in gfs)
+                        # metadata-only walk — gif_frames would composite
+                        # (and retain) a full canvas copy per frame just to
+                        # report counts/dims here (r5 ADVICE)
+                        meta = gif_meta(b)
+                        nf, w, h = meta["n_frames"], meta["width"], meta["height"]
+                        dur = meta["duration_millis"]
                         fps = nf * 1_000_000 // dur if dur > 0 else 0
                     else:
                         img = decode_image(b)
@@ -623,7 +717,9 @@ def video_info(
                     rows.append(
                         [*ids, True, nf, w, h, 1000 * w // h, w * h, fps, dur]
                     )
-                except ValueError:
+                except (ValueError, ZeroDivisionError):
+                    # ZeroDivisionError: defense-in-depth for any decoder
+                    # that reports zero height (parse_avi now rejects it)
                     rows.append(
                         [*ids, False, None, None, None, None, None, None, None]
                     )
@@ -711,6 +807,14 @@ def sample_frames(
     falls back to ``every_n`` when the container carries no rate.
     Still-image payloads emit their single frame as index 0.  Narrow
     int64 outputs only — decoded pixel arrays never leave the executor."""
+    # fail fast at the driver: every_millis=0 would loop forever in both
+    # the AVI (k*0//1e6 == 0 < n_frames) and GIF (0 < acc) index walks,
+    # hanging the executor (r5 ADVICE); every_n=0 would raise a per-row
+    # range() ValueError masquerading as a payload error
+    if every_millis is not None and every_millis <= 0:
+        raise ValueError("every_millis must be positive")
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
     dts = dict(df.dtypes)
     ids_schema = ", ".join(f"{c} {dts[c]}" for c in id_cols)
     schema = (

@@ -585,3 +585,60 @@ def test_luminance_and_cutout_pipeline_on_avi(spark):
     df = spark.createDataFrame([(1, bytearray(avi))], "doc_id long, payload binary")
     row = MM.luminance_stats(df).first()
     assert (row.lum_millisum, row.n_px) == (exp, 64)
+
+
+def test_gif_meta_matches_gif_frames():
+    """r6: video_info's metadata-only GIF walk must agree with the full
+    compositing decoder on every structurally-valid payload."""
+    gct = [(0, 0, 0), (255, 255, 255)]
+    a = np.zeros((4, 4), dtype=np.uint8)
+    bfr = np.full((3, 2), 1, dtype=np.uint8)
+    gif = _anim_gif(
+        4, 4, gct, 0,
+        [
+            {"left": 0, "top": 0, "idx": a, "delay_cs": 10,
+             "disposal": 1, "transparent": None},
+            {"left": 1, "top": 1, "idx": bfr, "delay_cs": 25,
+             "disposal": 2, "transparent": 0},
+        ],
+    )
+    meta = V.gif_meta(gif)
+    frames = V.gif_frames(gif)
+    assert meta["n_frames"] == len(frames)
+    assert meta["duration_millis"] == sum(d for d, _ in frames)
+    assert (meta["height"], meta["width"]) == frames[0][1].shape[:2]
+    # structural failures still fail identically
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        V.gif_meta(gif[:20])
+    with _pytest.raises(ValueError):
+        V.gif_meta(b"NOTAGIF")
+
+
+def test_parse_avi_rejects_zero_dims_and_video_info_survives(spark):
+    """r6 (r5 ADVICE): zero avih dims must be a per-row ValueError
+    (success=false), never a ZeroDivisionError task failure."""
+    frames = [np.zeros((8, 8, 3), dtype=np.uint8)]
+    import dataflow_mm_spark.operators.jpegcodec as J
+
+    avi = bytearray(V.encode_avi_mjpeg([J.encode_jpeg(frames[0])], width=8, height=8))
+    # avih dwWidth/dwHeight live 32/36 bytes into the avih body
+    ix = bytes(avi).find(b"avih") + 8
+    avi[ix + 32 : ix + 36] = (0).to_bytes(4, "little")
+    avi[ix + 36 : ix + 40] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        V.parse_avi(bytes(avi))
+    df = spark.createDataFrame(
+        [(1, bytearray(avi))], "doc_id long, payload binary"
+    )
+    row = V.video_info(df).first()
+    assert row.success is False
+
+
+def test_sample_frames_rejects_nonpositive_sampling(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with pytest.raises(ValueError):
+        V.sample_frames(df, every_millis=0)
+    with pytest.raises(ValueError):
+        V.sample_frames(df, every_n=0)
