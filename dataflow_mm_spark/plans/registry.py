@@ -3247,7 +3247,18 @@ FROM d JOIN crop USING (doc_id) JOIN rs USING (doc_id) JOIN lum USING (doc_id)
 """
 
 
-def _gate_shuffle(spark: SparkSession, inp: str):
+def _gate_files(spark: SparkSession) -> int:
+    """Fixture file count == map-side task count of the availableNow drain
+    (every file lands in one batch, so this does not change batching):
+    half the cluster cores, floor 4.  The map side carries the expensive
+    per-row expressions (minhash signatures, the 15 quality rules) —
+    measured map-bound at 4 files (r6: neardup drain 7.8-10 s at 4 files
+    vs 5.6 s at 16, shuffle held at 8)."""
+    return max(4, spark.sparkContext.defaultParallelism // 2)
+
+
+def _gate_shuffle(spark: SparkSession, inp: str,
+                  rows_per_partition: int = 12_500):
     """Scale-adaptive shuffle/state partitioning for a gate stream drain
     (guide §2.4/§2.2): a streaming query instantiates ONE state store per
     shuffle partition per stateful operator (a stream-stream join holds
@@ -3276,7 +3287,8 @@ def _gate_shuffle(spark: SparkSession, inp: str):
             rows += _pq.ParquetFile(f).metadata.num_rows
         except Exception:  # noqa: BLE001 — sizing heuristic only
             pass
-    n = max(4, min(spark.sparkContext.defaultParallelism, rows // 12_500))
+    n = max(4, min(spark.sparkContext.defaultParallelism,
+                   rows // rows_per_partition))
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
 
@@ -3421,7 +3433,7 @@ def transcripts_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         # left the final window unfinalized)
         from dataflow_mm_spark.datagen import TEMPLATES
 
-        _with_sentinel(t, TEMPLATES[0]).repartition(4).write.parquet(inp)
+        _with_sentinel(t, TEMPLATES[0]).repartition(_gate_files(spark)).write.parquet(inp)
         with _gate_shuffle(spark, inp):
             drain_resumable(
                 lambda: windowed_pipeline(spark, inp, out, ck,
@@ -3891,8 +3903,11 @@ def transcripts_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
             "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
         )
-        t.repartition(4).write.parquet(inp)
-        with _gate_shuffle(spark, inp):
+        t.repartition(_gate_files(spark)).write.parquet(inp)
+        # rows_per_partition=3000: the per-arrival Python stage needs
+        # worker parallelism more than the (bucketed-cheap) state commits
+        # need fewer stores (A/B r6: shuffle=4 13.6s, 8 7.8s over 4 files)
+        with _gate_shuffle(spark, inp, rows_per_partition=3_000):
             sink = drain_resumable(
                 lambda: neardup_pipeline(
                     spark, inp, out, ck,
@@ -4007,8 +4022,11 @@ def transcripts_stream_neardup_chain(spark: SparkSession, sf_dir: str) -> DataFr
                 F.lit(1700000000) + F.col("doc_id") * 100 + F.col("variant")
             ).alias("ts"),
         )
-        t.repartition(4).write.parquet(inp)
-        with _gate_shuffle(spark, inp):
+        t.repartition(_gate_files(spark)).write.parquet(inp)
+        # rows_per_partition=3000: the per-arrival Python stage needs
+        # worker parallelism more than the (bucketed-cheap) state commits
+        # need fewer stores (A/B r6: shuffle=4 13.6s, 8 7.8s over 4 files)
+        with _gate_shuffle(spark, inp, rows_per_partition=3_000):
             sink = drain_resumable(
                 lambda: neardup_pipeline(
                     spark, inp, out, ck,
