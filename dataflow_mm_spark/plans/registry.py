@@ -1376,7 +1376,7 @@ SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
 
 
 def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return S.cosine_neardup_pairs(emb, threshold=0.35)
 
 
@@ -1465,7 +1465,7 @@ SELECT vec_id, informativeness, uniqueness, score FROM t WHERE rn <= 100
 
 
 def emb_knn_avg_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return S.knn_avg_sim(emb, k=5)
 
 
