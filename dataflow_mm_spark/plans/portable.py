@@ -67,11 +67,18 @@ def sql_array(items: list[str]) -> str:
 # ---------------------------------------------------------------------------
 
 
-def synthetic_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthetic_turns(
+    spark: SparkSession, sf_dir: str, spread: int | None = None
+) -> DataFrame:
     """(conv_id, turn_idx, role, text, tool, ts) derived from events.parquet
     with the portable hash — same distributional structure as
     datagen.transcripts (tool calls ~1/11, violations ~1/37, defects 15/40,
-    dups ~1/29, answers ~1/13)."""
+    dups ~1/29, answers ~1/13).
+
+    ``spread``: repartition the turn-numbering window's output BEFORE the
+    md5 projection — AQE coalesces the window shuffle to one partition at
+    gate scale, and a repartition placed after the projection would spread
+    only the write, leaving the ~16-phash/row tax single-threaded (r6)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # partition the turn-numbering window on the STRING conv_id (not the long
     # user_id): the cast is injective so grouping is identical, and every
@@ -87,6 +94,8 @@ def synthetic_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
         "ts",
     )
+    if spread:
+        t = t.repartition(spread)
     cid = F.col("conv_id")
     ti = F.col("turn_idx").cast("string")
     ti_prev = (F.col("turn_idx") - 1).cast("string")
@@ -178,7 +187,7 @@ def synthetic_turns_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at 32 — guide §2, parallelism must survive the materialization).
         # defaultParallelism is cluster-derived, not a local constant.
         n = spark.sparkContext.defaultParallelism
-        synthetic_turns(spark, sf_dir).repartition(n).write.mode(
+        synthetic_turns(spark, sf_dir, spread=n).write.mode(
             "overwrite"
         ).parquet(path)
         _SYNTH_CACHE[key] = path
