@@ -3461,6 +3461,39 @@ FROM kept GROUP BY 1, 2, 3
 """
 
 
+_SENT_FIXTURE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _sentineled_turns_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Session-memoized parquet dir holding the portable synthetic turns +
+    far-future sentinel — the byte-identical availableNow INPUT that the
+    cep / sessions / cep_summary gate drains each re-derived and re-wrote
+    per query (~0.7 s each at sf0.1).  Same device and justification as
+    ``portable.synthetic_turns_cached``: a deterministic input fixture
+    materialized once per (application, sf_dir) — never query results.
+    Every consumer still runs its complete streaming drain from scratch
+    against its own checkpoint/output dirs."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _SENT_FIXTURE_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        from dataflow_mm_spark.plans.portable import synthetic_turns_cached
+
+        path = tempfile.mkdtemp(prefix="dfmm_gate_turns_")
+        t = synthetic_turns_cached(spark, sf_dir).select(
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+            "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
+        )
+        _with_sentinel(t).repartition(4).write.mode("overwrite").parquet(path)
+        _SENT_FIXTURE_CACHE[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def transcripts_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 stateful CEP under the value-hash gate: the REAL bucketed CEP
     FSM (`cep_stream_bucketed` — applyInPandasWithState over hash buckets,
@@ -3476,21 +3509,13 @@ def transcripts_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dataflow_mm_spark.plans.portable import (
-        synthetic_turns_cached as synthetic_turns,
-    )
     from dataflow_mm_spark.streaming.jobs import cep_pipeline, drain_resumable
 
     work = tempfile.mkdtemp(prefix="dfmm_gate_scep_")
     try:
-        inp = os.path.join(work, "in")
+        inp = _sentineled_turns_fixture(spark, sf_dir)
         out = os.path.join(work, "out")
         ck = os.path.join(work, "ck")
-        t = synthetic_turns(spark, sf_dir).select(
-            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
-            "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
-        )
-        _with_sentinel(t).repartition(4).write.parquet(inp)
         with _gate_shuffle(spark, inp):
             drain_resumable(lambda: cep_pipeline(
                 spark, inp, out, ck, buckets=32, sink_mode="native"
@@ -3554,21 +3579,13 @@ def transcripts_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dataflow_mm_spark.plans.portable import (
-        synthetic_turns_cached as synthetic_turns,
-    )
     from dataflow_mm_spark.streaming.jobs import drain_resumable, sessionized_pipeline
 
     work = tempfile.mkdtemp(prefix="dfmm_gate_ssess_")
     try:
-        inp = os.path.join(work, "in")
+        inp = _sentineled_turns_fixture(spark, sf_dir)
         out = os.path.join(work, "out")
         ck = os.path.join(work, "ck")
-        t = synthetic_turns(spark, sf_dir).select(
-            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
-            "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
-        )
-        _with_sentinel(t).repartition(4).write.parquet(inp)
         with _gate_shuffle(spark, inp):
             drain_resumable(
                 lambda: sessionized_pipeline(spark, inp, out, ck,
@@ -3603,21 +3620,13 @@ def transcripts_stream_cep_summary(spark: SparkSession, sf_dir: str) -> DataFram
     import shutil
     import tempfile
 
-    from dataflow_mm_spark.plans.portable import (
-        synthetic_turns_cached as synthetic_turns,
-    )
     from dataflow_mm_spark.streaming.jobs import cep_pipeline, drain_resumable
 
     work = tempfile.mkdtemp(prefix="dfmm_gate_scepsum_")
     try:
-        inp = os.path.join(work, "in")
+        inp = _sentineled_turns_fixture(spark, sf_dir)
         out = os.path.join(work, "out")
         ck = os.path.join(work, "ck")
-        t = synthetic_turns(spark, sf_dir).select(
-            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
-            "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
-        )
-        _with_sentinel(t).repartition(4).write.parquet(inp)
         with _gate_shuffle(spark, inp):
             drain_resumable(lambda: cep_pipeline(
                 spark, inp, out, ck, buckets=32, sink_mode="native"
