@@ -45,7 +45,13 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
             d[c] = s.astype("datetime64[us]").astype(str)
         else:
             d[c] = s.astype(str)
-    rows = sorted(d.apply(lambda r: "|".join(r.values), axis=1).tolist())
+    # .apply on an EMPTY frame returns a DataFrame (no .tolist) — an empty
+    # result set is legal (e.g. the 1-in-4 neardup sample at sf0.001
+    # selects no conversations) and must hash as zero rows, not crash
+    rows = (
+        [] if d.empty
+        else sorted(d.apply(lambda r: "|".join(r.values), axis=1).tolist())
+    )
     h = hashlib.md5("\n".join(rows).encode()).hexdigest()
     return len(df), cols, h
 
