@@ -3330,8 +3330,12 @@ def transcripts_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup shuffle → quality enrich → filter → exactly-once sink with
     lineage/manifest commit) runs availableNow over the portable synthetic
     turns, with byte-identical duplicate arrivals appended as a LATER file
-    (so dedup state spans micro-batches — maxFilesPerTrigger=2 forces
-    several); the sink's committed parquet is read back and hash-compared
+    (so dedup state spans micro-batches — maxFilesPerTrigger=3 over the
+    4+1 fixture files forces two data batches, with the dup-arrivals file
+    in the second: FileStreamSource orders by modification time, so the
+    duplicates always land after their originals' batch — one fewer batch
+    cycle than the old mftp=2 for the same cross-batch coverage, r6); the
+    sink's committed parquet is read back and hash-compared
     to closed-form batch SQL. Duplicates being byte-identical means
     keep-first arrival ambiguity cannot leak into the hash, while a dedup
     failure (extra rows) or quality/extraction drift still does."""
@@ -3361,7 +3365,7 @@ def transcripts_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_arrivals.coalesce(1).write.mode("append").parquet(inp)
         with _gate_shuffle(spark, inp):
             sink = drain_resumable(lambda: turns_pipeline(
-                spark, inp, out, ck, max_files_per_trigger=2
+                spark, inp, out, ck, max_files_per_trigger=3
             ))
         # r4: COMPACT the first half of the committed micro-batches into one
         # generation (Iceberg rewrite_data_files analogue) before reading —
