@@ -186,7 +186,11 @@ def synthetic_turns_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # quality_struct pass over the cache 4.6 s at 1 partition vs 0.55 s
         # at 32 — guide §2, parallelism must survive the materialization).
         # defaultParallelism is cluster-derived, not a local constant.
-        n = spark.sparkContext.defaultParallelism
+        # max(8, cores/4): consumers are compile/overhead-dominated at gate
+        # scale, so 8 wide beats 32 (A/B r6: quality_windows first-run 6.8s
+        # at 32 files vs 5.6s at 8, contract_suite 1.9 vs 1.4) while still
+        # breaking the 1-file serialization; scales with the cluster.
+        n = max(8, spark.sparkContext.defaultParallelism // 4)
         synthetic_turns(spark, sf_dir, spread=n).write.mode(
             "overwrite"
         ).parquet(path)

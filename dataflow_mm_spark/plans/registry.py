@@ -919,7 +919,9 @@ SELECT doc_id FROM k
 
 
 def docs_ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # no _spread here: A/B showed no warm gain (the df-cap join shuffles
+    # immediately) and the extra exchange cost ~0.7s of first-run compile
+    docs = _t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, n=2, threshold=0.25, max_df=50)
 
 
