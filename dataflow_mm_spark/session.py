@@ -119,6 +119,24 @@ def _warm_session(spark: SparkSession) -> None:
         spark.range(100_000).selectExpr(
             "sum(id) a", "count(distinct id % 7) b"
         ).write.format("noop").mode("overwrite").save()
+        # spawn + warm the reused Python workers (numpy/pandas import costs
+        # ~1-2 s per worker, otherwise absorbed by the first pandas-UDF
+        # query of the session — measured r6: first mapInPandas query
+        # 5.9 s cold vs 4.6 s after this 1.8 s one-time pass)
+        import pandas as _pd
+
+        def _gen(it):
+            import numpy as _np
+
+            for pdf in it:
+                yield _pd.DataFrame({"x": _np.asarray(pdf["id"]) * 2})
+
+        spark.range(
+            100 * spark.sparkContext.defaultParallelism,
+            numPartitions=spark.sparkContext.defaultParallelism,
+        ).mapInPandas(_gen, "x long").write.format("noop").mode(
+            "overwrite"
+        ).save()
         d = tempfile.mkdtemp(prefix="dfmm_warm_")
         try:
             spark.range(10_000).selectExpr(
