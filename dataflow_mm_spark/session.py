@@ -70,6 +70,19 @@ def get_spark(
         .config("spark.executor.extraJavaOptions",
                 os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC"))
         .config("spark.ui.enabled", "false")
+        # Spark 4.1 writes a checksum sidecar for every checkpoint file and
+        # BLOCKS each state-store delta close on the async checksum future
+        # (thread dumps r6: all 32 task threads parked in
+        # ChecksumCancellableFSDataOutputStream.close -> awaitResult inside
+        # finalizeDeltaFile; ~0.3-0.7s of summed commit time per partition
+        # per batch).  Local/HDFS checkpoints already carry
+        # filesystem-level CRCs (ChecksumFileSystem .crc sidecars / HDFS
+        # block checksums) — the Spark-level layer targets object stores
+        # without native checksums.  Disabling it lifted the sustained
+        # enrich+dedup stream 86.7k -> 100.6k turns/s (A/B r6).  Override
+        # via extra_conf for object-store deployments.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+                "false")
         # in-memory provider: right while state fits the heap; use
         # state_store_conf(est_keys, ...) via extra_conf to flip to RocksDB
         # past the measured crossover (BENCH.md §5)
