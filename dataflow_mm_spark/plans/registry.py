@@ -3919,10 +3919,11 @@ def transcripts_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "role", "text", "tool", F.col("ts").cast("timestamp").alias("ts"),
         )
         t.repartition(_gate_files(spark)).write.parquet(inp)
-        # rows_per_partition=3000: the per-arrival Python stage needs
-        # worker parallelism more than the (bucketed-cheap) state commits
-        # need fewer stores (A/B r6: shuffle=4 13.6s, 8 7.8s over 4 files)
-        with _gate_shuffle(spark, inp, rows_per_partition=3_000):
+        # rows_per_partition=1500: the per-arrival Python stage needs
+        # worker parallelism more than the state commits need fewer stores
+        # (A/B r6: shuffle=4 13.6s vs 8 7.8s; re-tuned after the checksum
+        # fix made commits cheap — 1500 edges out 3000 by ~0.3-0.5s)
+        with _gate_shuffle(spark, inp, rows_per_partition=1_500):
             sink = drain_resumable(
                 lambda: neardup_pipeline(
                     spark, inp, out, ck,
@@ -4038,10 +4039,11 @@ def transcripts_stream_neardup_chain(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("ts"),
         )
         t.repartition(_gate_files(spark)).write.parquet(inp)
-        # rows_per_partition=3000: the per-arrival Python stage needs
-        # worker parallelism more than the (bucketed-cheap) state commits
-        # need fewer stores (A/B r6: shuffle=4 13.6s, 8 7.8s over 4 files)
-        with _gate_shuffle(spark, inp, rows_per_partition=3_000):
+        # rows_per_partition=1500: the per-arrival Python stage needs
+        # worker parallelism more than the state commits need fewer stores
+        # (A/B r6: shuffle=4 13.6s vs 8 7.8s; re-tuned after the checksum
+        # fix made commits cheap — 1500 edges out 3000 by ~0.3-0.5s)
+        with _gate_shuffle(spark, inp, rows_per_partition=1_500):
             sink = drain_resumable(
                 lambda: neardup_pipeline(
                     spark, inp, out, ck,
